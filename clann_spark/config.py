@@ -1,0 +1,108 @@
+"""Engine configuration.
+
+The reference's runtime-adaptive recall machinery (prefix shortening +
+failure-probability stopping, libpuffinn collection.hpp:484-495,
+independent.hpp:108-119) is replaced by *static plan-time* banding math
+(see clann_spark.planner): we pick (bands, rows_per_band) offline so
+that P(candidate | jaccard >= tau) >= target_recall.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field, replace
+
+#: Mersenne prime 2^31 - 1. MinHash permutations operate mod this prime;
+#: keeping the hash space at 31 bits means (a * h + b) stays below 2^62
+#: and never overflows int64 in Spark SQL, DuckDB *or* NumPy — which is
+#: what makes the three engines bit-identical. Band hashes re-expand the
+#: entropy to 60 bits (r values × 31 bits → md5 → 60-bit int), so bucket
+#: collisions are not limited by the 31-bit space.
+MINHASH_PRIME = (1 << 31) - 1
+
+#: SimHash fingerprints use 60 bits so they always fit in a *positive*
+#: int64 (SQL engines differ on >> semantics for negatives).
+SIMHASH_BITS = 60
+
+
+def md5_int60(s: str) -> int:
+    """First 60 bits of md5(s) as a non-negative int64.
+
+    Parity contract (tested in tests/test_hashing.py):
+      Spark : cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)
+      DuckDB: list_sum([(strpos('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                         * (1::BIGINT << (4*(15-i))) for i in range(1,16)])
+    """
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic MinHash permutation coefficients (a_i, b_i), a_i >= 1.
+
+    Derived from md5 of seed strings rather than an RNG so the exact same
+    literals can be inlined into the DuckDB oracle SQL.
+    Mirrors the reference's seeded tabulation hash init
+    (libpuffinn minhash.hpp:18-30), minus the per-query adaptivity.
+    """
+    p = MINHASH_PRIME
+    return [
+        (
+            md5_int60(f"{seed}-minhash-a-{i}") % (p - 1) + 1,
+            md5_int60(f"{seed}-minhash-b-{i}") % p,
+        )
+        for i in range(num_perm)
+    ]
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Full configuration of the dedup pipeline.
+
+    Defaults follow SURVEY.md §7 milestone 0: 5-word shingles, 128
+    permutations in 32 bands × 4 rows, design threshold tau=0.8,
+    target recall 0.99 (BASELINE.json north_rule).
+    """
+
+    shingle_k: int = 5
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    tau: float = 0.8
+    target_recall: float = 0.99
+    seed: int = 42
+
+    # Skew handling (north_rule: explicit; reference has none —
+    # collection.hpp:415-441 loops whole segments unconditionally).
+    bucket_cap: int = 5000
+
+    # SimHash prefilter: candidate pairs with Hamming distance above
+    # this on the 60-bit fingerprint are dropped before exact verify
+    # (ref: filterer.hpp:20-32 sketch filter).
+    hamming_prefilter: int | None = None  # None = disabled (recall-safe)
+
+    # 'expr'  : pure Spark SQL expressions (JVM, codegen; md5-based,
+    #           bit-identical to the DuckDB oracle)
+    # 'pandas': vectorized Arrow/pandas UDFs (NumPy; same values)
+    # 'xxhash': Spark xxhash64-based production path (fastest; not
+    #           oracle-checkable because DuckDB lacks xxhash64)
+    signature_impl: str = "expr"
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"!= num_perm ({self.num_perm})"
+            )
+        if self.signature_impl not in ("expr", "pandas", "xxhash"):
+            raise ValueError(f"bad signature_impl {self.signature_impl!r}")
+
+    @property
+    def prime(self) -> int:
+        return MINHASH_PRIME
+
+    @property
+    def perms(self) -> list[tuple[int, int]]:
+        return perm_params(self.num_perm, self.seed)
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)

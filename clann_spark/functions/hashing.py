@@ -1,0 +1,222 @@
+"""MinHash / SimHash / band hashing — the LSH core (SURVEY.md §2.3).
+
+Three implementations with a bit-identity contract:
+
+  * Spark SQL expression builders (`*_sql`): pure JVM, whole-stage
+    codegen, zero Python in the hot path. md5-based so the DuckDB
+    oracle (clann_spark.oracles) reproduces values exactly.
+  * NumPy twins (`np_*`): used by the Arrow/pandas-UDF signature path
+    and by unit tests.
+  * A production `xxhash64` variant (fastest, JVM xxhash) for runs
+    where oracle parity is not needed.
+
+Reference parity:
+  MinHash       -> libpuffinn/include/puffinn/hash/minhash.hpp:97-127
+  banding (L tables of concatenated functions)
+                -> libpuffinn/include/puffinn/hash_source/independent.hpp:19-86
+  SimHash sketch -> libpuffinn/include/puffinn/hash/simhash.hpp:41-45,
+                   filterer.hpp:76-97 (here: one 60-bit fingerprint)
+
+The reference draws hash functions from a seeded RNG at index build; we
+derive (a_i, b_i) from md5 of seed strings (config.perm_params) so the
+same literals are embeddable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clann_spark.config import MINHASH_PRIME, SIMHASH_BITS, DedupConfig
+
+# ---------------------------------------------------------------------------
+# 60-bit md5 hash of a string expression (Spark SQL)
+# ---------------------------------------------------------------------------
+
+
+def h60_sql(s_expr: str) -> str:
+    """First 60 bits of md5 as bigint. Parity with config.md5_int60."""
+    return f"cast(conv(substring(md5({s_expr}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_hashes_sql(shingles_expr: str, prime: int = MINHASH_PRIME) -> str:
+    """array<string> shingles -> array<bigint> distinct 31-bit set elements."""
+    return f"array_distinct(transform({shingles_expr}, s -> {h60_sql('s')} % {prime}L))"
+
+
+def xxhash_shingle_hashes_sql(shingles_expr: str, seed: int, prime: int = MINHASH_PRIME) -> str:
+    """Production variant: xxhash64 (native JVM, ~10x faster than md5)."""
+    return f"transform({shingles_expr}, s -> pmod(xxhash64(s, {seed}), {prime}L))"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature
+# ---------------------------------------------------------------------------
+
+
+def minhash_sql(hashes_expr: str, cfg: DedupConfig) -> str:
+    """array<bigint> set hashes -> array<bigint> signature (num_perm).
+
+    sig_i = min over h of (a_i*h + b_i) mod P.  a_i < 2^31 and h < 2^31
+    so a_i*h + b_i < 2^62: no int64 overflow in any engine.
+
+    Expressed as a FOLD over the hash array (not a transform over the
+    perms) so `hashes_expr` is evaluated exactly once per row even after
+    Catalyst's CollapseProject inlines the md5 shingle-hash chain here:
+    an expression placed in a higher-order function's *argument* slot is
+    computed once, one placed inside the lambda is computed per element
+    (verified via .explain; the transform-over-perms form re-hashed
+    every shingle num_perm times).
+    """
+    p = cfg.prime
+    perms = ", ".join(f"array({a}L, {b}L)" for a, b in cfg.perms)
+    return (
+        f"aggregate({hashes_expr}, "
+        f"array_repeat({p}L, {cfg.num_perm}), "
+        f"(acc, h) -> zip_with(acc, array({perms}), "
+        f"(m, q) -> least(m, (q[0] * h + q[1]) % {p}L)))"
+    )
+
+
+def np_shingle_hashes(shingles: list[str], prime: int = MINHASH_PRIME) -> np.ndarray:
+    return np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % prime for s in shingles],
+        dtype=np.int64,
+    )
+
+
+def np_minhash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray, prime: int = MINHASH_PRIME) -> np.ndarray:
+    """Vectorized signature: (num_perm,) int64. hashes: (n,) int64 < 2^31.
+
+    Empty input -> all-PRIME signature (the fold identity; unreachable in
+    the pipeline because shingling always emits >= 1 shingle).
+    """
+    if hashes.size == 0:
+        return np.full(a.shape[0], prime, dtype=np.int64)
+    # (num_perm, n) = a[:,None]*h[None,:] + b[:,None], all < 2^62
+    m = (a[:, None] * hashes[None, :] + b[:, None]) % prime
+    return m.min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Band hashing (H8: concat r signature values -> 60-bit bucket key)
+# ---------------------------------------------------------------------------
+
+
+def bands_sql(sig_expr: str, cfg: DedupConfig) -> str:
+    """array<bigint> sig -> array<bigint> band hashes (one per band).
+
+    band_j = h60(md5('{j}-' || sig[j*r+1..j*r+r] joined with '-')).
+    Equivalent role to the reference's 24-bit concatenated hash codes per
+    table (independent.hpp:70-86) but with 60 bits — at 10^12 docs the
+    24-bit space of the reference would saturate; 60 bits keeps expected
+    accidental collisions per band ~ n^2/2^61 manageable and the exact
+    verify stage removes any that occur.
+    """
+    r = cfg.rows_per_band
+    key = f"concat_ws('-', j, slice({sig_expr}, j * {r} + 1, {r}))"
+    return f"transform(sequence(0, {cfg.bands - 1}), j -> {h60_sql(key)})"
+
+
+def np_band_hashes(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    r = cfg.rows_per_band
+    out = np.empty(cfg.bands, dtype=np.int64)
+    for j in range(cfg.bands):
+        key = "-".join([str(j)] + [str(int(v)) for v in sig[j * r : j * r + r]])
+        out[j] = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash 60-bit fingerprint (H1/H11 sketch column)
+# ---------------------------------------------------------------------------
+
+
+def simhash_sql(word_hashes_expr: str, bits: int = SIMHASH_BITS) -> str:
+    """array<bigint> 60-bit distinct word hashes -> bigint fingerprint.
+
+    bit_j = 1 iff 2 * |{h : bit_j(h)=1}| >= |hashes| (majority; ties->1).
+    Empty input -> 0.
+    """
+    hs = word_hashes_expr
+    return (
+        f"CASE WHEN size({hs}) = 0 THEN 0L ELSE "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
+        f"CASE WHEN 2 * size(filter({hs}, h -> pmod(shiftright(h, j), 2) = 1)) "
+        f">= size({hs}) THEN shiftleft(1L, j) ELSE 0L END) END"
+    )
+
+
+def word_hashes_sql(words_expr: str) -> str:
+    """Distinct 60-bit hashes of tokens (SimHash input)."""
+    return f"array_distinct(transform(array_distinct({words_expr}), w -> {h60_sql('w')}))"
+
+
+def np_simhash(word_hashes: np.ndarray, bits: int = SIMHASH_BITS) -> int:
+    if word_hashes.size == 0:
+        return 0
+    n = word_hashes.size
+    ones = ((word_hashes[:, None] >> np.arange(bits)[None, :]) & 1).sum(axis=0)
+    bitvec = (2 * ones >= n).astype(np.int64)
+    return int((bitvec << np.arange(bits)).sum())
+
+
+def hamming_sql(a_expr: str, b_expr: str) -> str:
+    """Hamming distance between two 60-bit fingerprints (J7 sketch filter)."""
+    return f"bit_count({a_expr} ^ {b_expr})"
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF signature path (Arrow-batched; values identical to exprs)
+# ---------------------------------------------------------------------------
+
+
+def signature_udf(cfg: DedupConfig):
+    """text -> struct(shingle_hashes array<long>, sig array<long>, simhash long).
+
+    One Arrow batch in, one out; NumPy inside. The per-shingle md5 is the
+    only scalar loop (hashlib is C; ~1-2M shingles/s/core).
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from clann_spark.functions.text import py_shingles, py_words
+
+    a = np.array([p[0] for p in cfg.perms], dtype=np.int64)
+    b = np.array([p[1] for p in cfg.perms], dtype=np.int64)
+    prime = cfg.prime
+
+    schema = StructType(
+        [
+            StructField("shingle_hashes", ArrayType(LongType())),
+            StructField("sig", ArrayType(LongType())),
+            StructField("simhash", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        sh_out, sig_out, sim_out = [], [], []
+        for t in texts:
+            t = t or ""
+            sh = py_shingles(t, cfg.shingle_k)
+            hs = np_shingle_hashes(sh, prime)
+            # set semantics: distinct hashes (md5 collisions inside one
+            # doc are harmless but keep parity with array_distinct path)
+            hs = np.unique(hs)
+            sig = np_minhash(hs, a, b, prime)
+            wh = np.unique(
+                np.array(
+                    [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in set(py_words(t))],
+                    dtype=np.int64,
+                )
+            ) if t else np.array([], dtype=np.int64)
+            sh_out.append(hs.tolist())
+            sig_out.append(sig.tolist())
+            sim_out.append(np_simhash(wh))
+        return pd.DataFrame({"shingle_hashes": sh_out, "sig": sig_out, "simhash": sim_out})
+
+    return _sig

@@ -1,0 +1,128 @@
+"""Text normalization, shingling and HTML extraction.
+
+All hot-path functions exist as pure Spark SQL expression builders
+(JVM-side, whole-stage codegen — no Python in the scan) with NumPy
+twins used by the pandas-UDF signature path and by tests.
+
+Reference parity notes: the reference's set data model is a sorted set
+of bounded-universe u32 tokens (libpuffinn format/set.hpp:15-48); here
+the universe is the 31-bit hash space and "sorted set" is simply set
+semantics (order never observed).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# words / shingles (Spark SQL expression builders — JVM side)
+# ---------------------------------------------------------------------------
+
+
+def words_sql(text_col: str) -> str:
+    """Lowercased whitespace tokens, empties dropped."""
+    return f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+
+
+def shingles_from_words_sql(words_expr: str, k: int) -> str:
+    """Distinct k-word shingles from a words array expression.
+
+    IMPORTANT for cost: pass a *column name* here (materialize words as
+    its own projection first). The words expression is referenced both
+    in size() and inside the per-shingle lambda; if a raw split(...) is
+    inlined it re-tokenizes the document once per shingle (quadratic).
+    Catalyst's CollapseProject keeps multi-referenced aliases as a
+    separate Project, so a named column is evaluated once.
+    """
+    w = words_expr
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, size({w}) - {k} + 1)), "
+        f"i -> concat_ws(' ', slice({w}, i, {k}))))"
+    )
+
+
+def shingles_sql(text_col: str, k: int) -> str:
+    """Distinct k-word shingles (space-joined strings).
+
+    Docs shorter than k words yield one shingle = all their words
+    (slice clips), so no document is silently dropped.
+    Convenience form for tests/small data — see shingles_from_words_sql
+    for the hot-path shape.
+    """
+    return shingles_from_words_sql(words_sql(text_col), k)
+
+
+def words_col(text_col: str) -> Column:
+    return F.expr(words_sql(text_col))
+
+
+def shingles_col(text_col: str, k: int) -> Column:
+    return F.expr(shingles_sql(text_col, k))
+
+
+# ---------------------------------------------------------------------------
+# Python twins (must match the SQL builders byte-for-byte)
+# ---------------------------------------------------------------------------
+
+_WS = re.compile(r"\s+")
+
+
+def py_words(text: str) -> list[str]:
+    return [w for w in _WS.split(text.lower()) if w]
+
+
+def py_shingles(text: str, k: int) -> list[str]:
+    w = py_words(text)
+    if not w:
+        # matches the SQL builder: slice of empty array -> [''] singleton
+        return [""]
+    n = max(1, len(w) - k + 1)
+    out: list[str] = []
+    seen: set[str] = set()
+    for i in range(n):
+        s = " ".join(w[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HTML wrap / extract (the BASELINE.json input_hint invariant:
+# extract_text(html) must be byte-identical to the original text per url)
+# ---------------------------------------------------------------------------
+
+_TAG = re.compile(r"<[^>]+>")
+
+
+def py_wrap_html(text: str, title: str = "") -> bytes:
+    """Deterministic html template used by the synthetic pages fixture."""
+    return (
+        f"<html><head><title>{_html.escape(title)}</title></head>"
+        f"<body><p>{_html.escape(text)}</p></body></html>"
+    ).encode("utf-8")
+
+
+def py_extract_text(html_bytes: bytes) -> str:
+    """Strip tags, unescape entities. Inverse of py_wrap_html on body."""
+    s = html_bytes.decode("utf-8")
+    m = re.search(r"<p>(.*)</p>", s, flags=re.S)
+    body = m.group(1) if m else _TAG.sub("", s)
+    return _html.unescape(body)
+
+
+def extract_text_udf():
+    """Vectorized pandas UDF: html binary -> extracted text string."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _extract(h: pd.Series) -> pd.Series:
+        return h.map(py_extract_text)
+
+    return _extract

@@ -1,0 +1,84 @@
+"""Signature stage: text -> (shingle_hashes, sig, bands, simhash).
+
+The analog of the reference's index build hash pass
+(libpuffinn collection.hpp:241-306: sketches + per-row hash codes),
+as one narrow (shuffle-free) projection pipeline. Three interchangeable
+implementations selected by DedupConfig.signature_impl:
+
+  expr   : pure Spark SQL expressions (JVM codegen; md5-based, DuckDB-
+           oracle-checkable). Default.
+  pandas : one Arrow-batched pandas UDF (NumPy); identical values.
+  xxhash : JVM xxhash64 instead of md5 (fastest; same structure, not
+           oracle-checkable).
+
+All three are narrow: the signature stage never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clann_spark.config import DedupConfig
+from clann_spark.functions import hashing as H
+from clann_spark.functions import text as T
+
+#: Output columns added by compute_signatures.
+SIGNATURE_COLS = ("shingle_hashes", "sig", "bands", "simhash")
+
+
+def compute_signatures(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+    """Append shingle_hashes / sig / bands / simhash to ``df``.
+
+    Keeps every original column. Null text is treated as ''.
+    """
+    if cfg.signature_impl == "pandas":
+        udf = H.signature_udf(cfg)
+        out = df.withColumn("_s", udf(F.coalesce(F.col(text_col), F.lit(""))))
+        out = (
+            out.withColumn("shingle_hashes", F.col("_s.shingle_hashes"))
+            .withColumn("sig", F.col("_s.sig"))
+            .withColumn("simhash", F.col("_s.simhash"))
+            .drop("_s")
+        )
+        return out.withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
+
+    txt = f"coalesce({text_col}, '')"
+    if cfg.signature_impl == "xxhash":
+        hashes = H.xxhash_shingle_hashes_sql("_shingles", cfg.seed)
+        word_hashes = (
+            f"array_distinct(transform(array_distinct(_words), "
+            f"w -> xxhash64(w, {cfg.seed})))"
+        )
+    else:  # expr (md5 parity)
+        hashes = H.shingle_hashes_sql("_shingles")
+        word_hashes = H.word_hashes_sql("_words")
+
+    # Each md5-bearing expression gets its own named column: simhash/
+    # minhash reference their input arrays many times (60 bit positions /
+    # num_perm lanes) and CollapseProject only protects *aliased columns*
+    # that are multi-referenced — an inlined chain would re-hash per use.
+    return (
+        df.withColumn("_words", F.expr(T.words_sql(txt)))
+        .withColumn("_shingles", F.expr(T.shingles_from_words_sql("_words", cfg.shingle_k)))
+        .withColumn("shingle_hashes", F.expr(hashes))
+        .withColumn("_word_hashes", F.expr(word_hashes))
+        .withColumn("sig", F.expr(H.minhash_sql("shingle_hashes", cfg)))
+        .withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
+        .withColumn("simhash", F.expr(H.simhash_sql("_word_hashes")))
+        .drop("_words", "_shingles", "_word_hashes")
+    )
+
+
+def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """(id, bands) -> exploded (id, band_id, band_hash) bucket rows.
+
+    The reference keeps L parallel sorted hash tables
+    (prefixmap.hpp:66-87); here band_id plays the role of the table
+    index and the groupBy/shuffle on (band_id, band_hash) is the
+    table build (SURVEY.md §2.4 C6-C8).
+    """
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
