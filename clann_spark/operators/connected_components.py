@@ -1,0 +1,96 @@
+"""Connected components over verified duplicate pairs
+(large-star / small-star alternation, Kiveris et al. "Connected
+Components in MapReduce and Beyond" — cited as the CC building block
+in PAPERS.md; BTS/ICDE'24 is the load-balanced successor).
+
+Target-only operator: the reference returns candidate pairs
+(collection.hpp:390-504) but never resolves them into clusters; the
+BASELINE.json north_rule demands duplicate *clusters*, with the
+cluster id matching the reference's ClusterCenter.assignment semantics
+(src/core/index.rs:32) — every member labeled by a representative,
+here min(doc_id) of the component.
+
+Convergence: large-star halves the height of any tree, small-star
+re-parents everything at the local min; O(log n) rounds. Each round is
+two groupBy shuffles; lineage is cut with localCheckpoint so the plan
+does not grow across iterations (this is what makes a 50-round loop
+feasible on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    # ^ min over neighbors and self
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, star at the min."""
+    canon = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = canon.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    nodes = canon.select("u", "v").union(canon.select("u", F.col("u").alias("v"))).distinct()
+    return (
+        nodes.join(m, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(a, b) edges -> (doc_id, cluster_id) with cluster_id = component min.
+
+    Only nodes that appear in an edge are returned (isolated docs keep
+    themselves as their own cluster trivially; callers left-join).
+    """
+    e = pairs.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
+    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        # order-insensitive set fingerprint: (count, sum of row hashes).
+        # Equal sets -> equal fingerprints; unequal sets collide with
+        # probability ~2^-64 — fine for convergence detection.
+        # hashes reduced mod 2^32 before summing: ANSI mode (Spark 4
+        # default) would raise on int64 overflow of a raw hash sum.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 32))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    for i in range(max_iter):
+        # localCheckpoint every round: each star is 2 shuffles and the
+        # convergence check re-executes the plan, so an uncut lineage
+        # would re-run all previous rounds.
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # final edges are (node -> component min) stars; add the roots
+    assign = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = assign.select(F.col("cluster_id").alias("doc_id"), F.col("cluster_id")).distinct()
+    return assign.union(roots).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))

@@ -1,0 +1,99 @@
+"""End-to-end dedup pipeline orchestration (SURVEY.md §3.1 Spark
+lifecycle): read → signatures (narrow) → band explode → bucket
+shuffle → candidate pairs → exact verify → connected components →
+cluster assignment.
+
+Every stage is a DataFrame; `run_dedup` returns them all so callers
+(tests, bench, __spark_entry__, the checkpointing StageRunner) can
+materialize whichever they need.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clann_spark.config import DedupConfig
+from clann_spark.operators.candidates import candidate_pairs
+from clann_spark.operators.connected_components import connected_components
+from clann_spark.operators.signatures import compute_signatures, explode_bands
+from clann_spark.operators.verify import verify_pairs
+
+
+def prepare_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
+    """Common-Crawl-style pages table -> (doc_id, url, text, lang).
+
+    doc_id = xxhash64(url): a stable 64-bit numeric key derived from the
+    row's natural key (SURVEY.md §1.2 data-model mapping). With
+    use_html=True the text is re-extracted from the html column through
+    the deterministic pandas UDF (input_hint invariant: byte-identical
+    to the stored text — tested in tests/test_text.py).
+    """
+    df = pages
+    if use_html:
+        from clann_spark.functions.text import extract_text_udf
+
+        df = df.withColumn("text", extract_text_udf()(F.col("html")))
+    return df.select(
+        F.xxhash64(F.col("url")).alias("doc_id"), "url", "text", "lang"
+    )
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame      # doc_id, shingle_hashes, sig, bands, simhash
+    buckets: DataFrame         # doc_id, band_id, band_hash
+    candidates: DataFrame      # a, b
+    verified: DataFrame        # a, b, jaccard  (jaccard >= tau)
+    clusters: DataFrame        # doc_id, cluster_id (only docs in a dup pair)
+    assignments: DataFrame     # doc_id, cluster_id for ALL docs
+
+
+def run_dedup(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_mode: str = "clique",
+    persist_signatures: bool = True,
+) -> DedupResult:
+    """Full pipeline over any DataFrame with (id_col, text_col)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sigs = compute_signatures(base, cfg).drop("text")
+    if persist_signatures:
+        # signatures feed both the bucket explode and the verify join;
+        # persisting avoids recomputing the hash chain twice.
+        sigs = sigs.persist()
+
+    buckets = explode_bands(sigs, cfg)
+    cands = candidate_pairs(buckets, cfg, mode=pair_mode)
+    verified = verify_pairs(cands, sigs, cfg)
+    clusters = connected_components(verified)
+
+    assignments = (
+        base.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return DedupResult(
+        signatures=sigs,
+        buckets=buckets,
+        candidates=cands,
+        verified=verified,
+        clusters=clusters,
+        assignments=assignments,
+    )
+
+
+def dedup_summary(result: DedupResult) -> DataFrame:
+    """Corpus-level dedup stats: docs, clusters, dup docs removed."""
+    return result.assignments.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        (F.count("*") - F.countDistinct("cluster_id")).alias("n_removed"),
+    )

@@ -1,0 +1,103 @@
+"""Offline banding planner — the plan-time replacement for the
+reference's runtime recall machinery.
+
+The reference stops probing when the failure probability of the
+current prefix depth drops below 1-delta
+(libpuffinn hash_source/independent.hpp:108-119 `failure_probability`,
+collection.hpp:484-495). A batch Spark plan cannot adapt at runtime,
+so we solve the same inequality offline using the MinHash collision
+probability (minhash.hpp:213-220: P[collide] = s for a full hash;
+banding: P[candidate] = 1 - (1 - s^r)^b) and provision (b, r)
+statically for the design threshold tau.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from clann_spark.config import DedupConfig
+
+
+def candidate_probability(s: float, bands: int, rows_per_band: int) -> float:
+    """P[pair with Jaccard s becomes an LSH candidate]."""
+    if s <= 0.0:
+        return 0.0
+    if s >= 1.0:
+        return 1.0
+    return 1.0 - (1.0 - s**rows_per_band) ** bands
+
+
+def lsh_threshold(bands: int, rows_per_band: int) -> float:
+    """The similarity where the banding S-curve crosses ~0.5:
+    (1/b)^(1/r) — the classic approximation."""
+    return (1.0 / bands) ** (1.0 / rows_per_band)
+
+
+@dataclass(frozen=True)
+class BandingPlan:
+    bands: int
+    rows_per_band: int
+    recall_at_tau: float
+    fp_rate_at_half_tau: float
+
+    @property
+    def num_perm(self) -> int:
+        return self.bands * self.rows_per_band
+
+
+def plan_banding(
+    tau: float,
+    target_recall: float = 0.99,
+    max_perm: int = 512,
+    max_rows_per_band: int = 16,
+) -> BandingPlan:
+    """Choose (b, r) with minimal verification cost meeting the recall
+    contract at tau.
+
+    Larger r → sharper S-curve → fewer false candidates (cheaper exact
+    verify) but needs more bands for the same recall. We scan r
+    descending and take the largest r whose required b fits max_perm —
+    i.e. the cheapest plan that satisfies 1-(1-tau^r)^b >= target_recall.
+    """
+    best: BandingPlan | None = None
+    for r in range(max_rows_per_band, 0, -1):
+        # smallest b with 1-(1-tau^r)^b >= target_recall
+        miss = 1.0 - tau**r
+        if miss >= 1.0:
+            continue
+        if miss <= 0.0:
+            b = 1
+        else:
+            b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss)))
+        if b * r > max_perm:
+            continue
+        plan = BandingPlan(
+            bands=b,
+            rows_per_band=r,
+            recall_at_tau=candidate_probability(tau, b, r),
+            fp_rate_at_half_tau=candidate_probability(tau / 2.0, b, r),
+        )
+        if best is None or plan.rows_per_band > best.rows_per_band:
+            best = plan
+        break  # r scanned descending: first feasible r is the sharpest
+    if best is None:
+        raise ValueError(
+            f"no (b, r) with b*r <= {max_perm} reaches recall {target_recall} at tau={tau}"
+        )
+    return best
+
+
+def config_recall(cfg: DedupConfig, s: float | None = None) -> float:
+    """Candidate recall of a config at similarity s (default: its tau)."""
+    return candidate_probability(s if s is not None else cfg.tau, cfg.bands, cfg.rows_per_band)
+
+
+def expected_pair_recall(cfg: DedupConfig, sims: list[float]) -> float:
+    """Mean candidate probability over a list of true-pair similarities —
+    the planner-side estimate of the dup-pair recall metric
+    (adaptation of the reference's get_recall_values,
+    src/utils/mod.rs:59-95, to pairs)."""
+    if not sims:
+        return 1.0
+    return sum(candidate_probability(s, cfg.bands, cfg.rows_per_band) for s in sims) / len(sims)

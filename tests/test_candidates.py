@@ -1,0 +1,71 @@
+"""Candidate generation: clique vs anchor modes, singleton pruning,
+mega-bucket salting (north_rule skew requirement)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clann_spark.config import DedupConfig
+from clann_spark.operators.candidates import bucket_census, candidate_pairs, salted_buckets
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, bucket_cap=10)
+
+
+def _buckets(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, band_id int, band_hash long")
+
+
+def test_clique_pairs_within_bucket(spark):
+    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (3, 0, 100), (4, 0, 200)])
+    got = {(r["a"], r["b"]) for r in candidate_pairs(b, CFG, "clique").collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_anchor_pairs_are_spanning(spark):
+    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (3, 0, 100)])
+    got = {(r["a"], r["b"]) for r in candidate_pairs(b, CFG, "anchor").collect()}
+    assert got == {(1, 2), (1, 3)}  # m-1 edges to the min doc
+
+
+def test_pairs_deduped_across_bands(spark):
+    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (1, 1, 300), (2, 1, 300)])
+    got = candidate_pairs(b, CFG, "clique").collect()
+    assert len(got) == 1
+
+
+def test_singleton_buckets_dropped(spark):
+    b = _buckets(spark, [(i, 0, i * 1000) for i in range(10)])
+    assert candidate_pairs(b, CFG, "clique").count() == 0
+    assert salted_buckets(b, CFG).count() == 0
+
+
+def test_mega_bucket_salted(spark):
+    # 100 docs in ONE bucket, cap=10 -> ~10 salt groups; clique pairs
+    # must collapse from C(100,2)=4950 to roughly sum C(|g|,2)
+    rows = [(i, 0, 7) for i in range(100)]
+    b = _buckets(spark, rows)
+    sb = salted_buckets(b, CFG)
+    n_groups = sb.select("salt").distinct().count()
+    assert n_groups == 10
+    sizes = [r["c"] for r in sb.groupBy("salt").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) < 30  # hash-balanced, no group anywhere near 100
+    n_pairs = candidate_pairs(b, CFG, "clique").count()
+    assert n_pairs < 1500  # vs 4950 unsalted
+
+
+def test_census(spark):
+    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (3, 1, 100)])
+    got = {(r["band_id"], r["band_hash"]): r["cnt"] for r in bucket_census(b).collect()}
+    assert got == {(0, 100): 2, (1, 100): 1}
+
+
+def test_auto_mode_mixes(spark):
+    # small bucket (3 docs) -> clique; big bucket (20 docs, thr=5) -> anchor
+    rows = [(i, 0, 100) for i in (1, 2, 3)] + [(i, 1, 200) for i in range(10, 30)]
+    b = _buckets(spark, rows)
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4, bucket_cap=1000)
+    got = {(r["a"], r["b"]) for r in candidate_pairs(b, cfg, "auto", anchor_threshold=5).collect()}
+    clique_part = {(1, 2), (1, 3), (2, 3)}
+    anchor_part = {(10, i) for i in range(11, 30)}
+    assert got == clique_part | anchor_part

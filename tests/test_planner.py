@@ -1,0 +1,41 @@
+"""Banding planner math (the static replacement for the reference's
+failure-probability stopping rule, independent.hpp:108-119)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clann_spark.config import DedupConfig
+from clann_spark.planner import (
+    candidate_probability,
+    config_recall,
+    lsh_threshold,
+    plan_banding,
+)
+
+
+def test_candidate_probability_monotone():
+    ps = [candidate_probability(s / 10, 32, 4) for s in range(11)]
+    assert ps == sorted(ps)
+    assert ps[0] == 0.0 and ps[10] == 1.0
+
+
+def test_default_config_meets_recall_contract():
+    cfg = DedupConfig()  # 32x4 @ tau=0.8
+    assert config_recall(cfg) >= cfg.target_recall
+    # and not a vacuous plan: false-positive rate at s=0.4 stays low
+    assert candidate_probability(0.4, cfg.bands, cfg.rows_per_band) < 0.6
+
+
+def test_plan_banding_solves_inequality():
+    for tau in (0.5, 0.7, 0.8, 0.9):
+        plan = plan_banding(tau, target_recall=0.99, max_perm=512)
+        assert candidate_probability(tau, plan.bands, plan.rows_per_band) >= 0.99
+        assert plan.num_perm <= 512
+        # the S-curve threshold sits below tau (catches, not misses)
+        assert lsh_threshold(plan.bands, plan.rows_per_band) <= tau
+
+
+def test_plan_banding_infeasible():
+    with pytest.raises(ValueError):
+        plan_banding(0.05, target_recall=0.999999, max_perm=8)
