@@ -1,0 +1,453 @@
+"""Driver-contract query library: operators from SURVEY.md §2 exposed
+as (spark, sf_dir) -> DataFrame callables plus (where SQL-expressible)
+DuckDB oracle strings over the same parquet tables.
+
+Column names and types are aligned pairwise (the driver hash-compares
+values after sorting columns by name), and every float column is the
+same double-precision arithmetic on both sides — cosine is the
+sequential-fold dot product, verified bit-exact Spark vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clann_spark import oracles as OQ
+from clann_spark.config import DedupConfig
+from clann_spark.functions import hashing as H
+from clann_spark.functions import text as T
+from clann_spark.operators.candidates import candidate_pairs
+from clann_spark.operators.connected_components import connected_components
+from clann_spark.operators.signatures import compute_signatures, explode_bands
+from clann_spark.operators.verify import verify_pairs
+
+CFG = DedupConfig()  # tau=0.8, 128 perms, 32x4 — the flagship config
+
+#: common-token list for the language/stopword heuristics (drawn from
+#: the synthetic corpus vocabulary so the counts are non-vacuous).
+STOPWORDS = ["the", "a", "table", "row", "key", "value", "scan", "fast"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup via content hash (training-pipeline op #1)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+O_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def _verified_pairs_df(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = compute_signatures(docs, CFG).drop("text").persist()
+    cands = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
+    return verify_pairs(cands, sigs, CFG)
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """Flagship: MinHash-LSH candidate generation + exact verification
+    (ref semantics: closest_pairs, libpuffinn collection.hpp:390-504).
+    At the planner's 32x4 banding, P(miss | J>=0.8) <= 5e-8, so the
+    result equals the brute-force oracle pair set exactly."""
+    return _verified_pairs_df(spark, sf_dir).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _oracle_shingle_cte() -> str:
+    w = OQ.duck_words("text")
+    return (
+        f"w AS (SELECT doc_id, {w} AS w FROM documents), "
+        f"sh AS (SELECT doc_id, {OQ.duck_shingle_hashes(OQ.duck_shingles_from_words('w', CFG.shingle_k))} AS s FROM w)"
+    )
+
+
+def _oracle_bf_pairs(tau: float) -> str:
+    """Brute-force exact-Jaccard pair CTE with the size necessary
+    condition |A| >= tau|B| as a join prefilter."""
+    return (
+        f"{_oracle_shingle_cte()}, "
+        f"p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        f"{OQ.duck_jaccard('a.s', 'b.s')} AS j "
+        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"AND len(a.s) >= {tau} * len(b.s) AND len(b.s) >= {tau} * len(a.s))"
+    )
+
+
+O_MINHASH_DEDUP_PAIRS = f"""
+WITH {_oracle_bf_pairs(CFG.tau)}
+SELECT a, b, round(j, 6) AS jaccard FROM p WHERE j >= {CFG.tau}
+"""
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over verified pairs
+    (north_rule; cluster_id = min doc_id, the ClusterCenter.assignment
+    analog, src/core/index.rs:32)."""
+    return connected_components(_verified_pairs_df(spark, sf_dir))
+
+
+O_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_oracle_bf_pairs(CFG.tau)},
+pr AS (SELECT a, b FROM p WHERE j >= {CFG.tau}),
+nodes AS (SELECT a AS n FROM pr UNION SELECT b FROM pr),
+edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+cc(n, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.v, cc.lab FROM cc JOIN edges e ON cc.n = e.u
+)
+SELECT n AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY n
+"""
+
+
+def q_dedup_summary(spark, sf_dir):
+    """Corpus dedup stats after clustering."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = connected_components(_verified_pairs_df(spark, sf_dir))
+    assign = docs.join(clusters, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return assign.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        (F.count("*") - F.countDistinct("cluster_id")).alias("n_removed"),
+    )
+
+
+O_DEDUP_SUMMARY = f"""
+WITH RECURSIVE {_oracle_bf_pairs(CFG.tau)},
+pr AS (SELECT a, b FROM p WHERE j >= {CFG.tau}),
+nodes AS (SELECT a AS n FROM pr UNION SELECT b FROM pr),
+edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+cc(n, lab) AS (
+  SELECT n, n FROM nodes UNION SELECT e.v, cc.lab FROM cc JOIN edges e ON cc.n = e.u
+),
+comp AS (SELECT n, min(lab) AS root FROM cc GROUP BY n)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       ((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+        + (SELECT count(DISTINCT root) FROM comp)) AS n_clusters,
+       ((SELECT count(*) FROM comp) - (SELECT count(DISTINCT root) FROM comp)) AS n_removed
+"""
+
+
+def q_vocab_jaccard_pairs(spark, sf_dir):
+    """N-gram(1) Jaccard near-dup scoring on a doc_id%5 sample —
+    the n-gram-Jaccard dedup variant with a full SQL oracle."""
+    docs = _docs(spark, sf_dir).where("doc_id % 5 = 0")
+    w = docs.select(
+        "doc_id", F.expr(f"array_distinct({T.words_sql('text')})").alias("s")
+    )
+    a = w.select(F.col("doc_id").alias("a"), F.col("s").alias("sa"))
+    b = w.select(F.col("doc_id").alias("b"), F.col("s").alias("sb"))
+    j = (
+        a.crossJoin(b)
+        .where("a < b")
+        .select(
+            "a",
+            "b",
+            (
+                F.expr("size(array_intersect(sa, sb))")
+                / F.expr("cast(size(array_union(sa, sb)) as double)")
+            ).alias("j"),
+        )
+    )
+    return j.where(F.col("j") >= 0.3).select("a", "b", F.round("j", 6).alias("vocab_jaccard"))
+
+
+O_VOCAB_JACCARD_PAIRS = f"""
+WITH w AS (SELECT doc_id, list_distinct({OQ.duck_words('text')}) AS s
+           FROM documents WHERE doc_id % 5 = 0)
+SELECT a.doc_id AS a, b.doc_id AS b, round({OQ.duck_jaccard('a.s', 'b.s')}, 6) AS vocab_jaccard
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE {OQ.duck_jaccard('a.s', 'b.s')} >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# signature family
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """60-bit SimHash fingerprint per document (ref: simhash.hpp:41-45 /
+    filterer sketches)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return compute_signatures(docs, CFG).select("doc_id", "simhash")
+
+
+O_SIMHASH_FINGERPRINTS = f"""
+WITH h AS (SELECT doc_id, {OQ.duck_word_hashes('text')} AS wh FROM documents)
+SELECT doc_id, {OQ.duck_simhash('wh')} AS simhash FROM h
+"""
+
+
+def q_minhash_sig_stats(spark, sf_dir):
+    """Signature checksum per sampled doc (determinism probe: any value
+    drift vs the oracle flags a broken hash chain)."""
+    docs = _docs(spark, sf_dir).where("doc_id % 10 = 0").select("doc_id", "text")
+    s = compute_signatures(docs, CFG)
+    return s.select(
+        "doc_id",
+        F.expr("aggregate(sig, 0L, (acc, x) -> acc + x)").alias("sig_sum"),
+        F.expr("array_min(sig)").alias("sig_min"),
+        F.expr("array_max(sig)").alias("sig_max"),
+    )
+
+
+O_MINHASH_SIG_STATS = f"""
+WITH w AS (SELECT doc_id, {OQ.duck_shingle_hashes(OQ.duck_shingles('text', CFG.shingle_k))} AS hs
+           FROM documents WHERE doc_id % 10 = 0),
+s AS (SELECT doc_id, {OQ.duck_minhash('hs', CFG)} AS sig FROM w)
+SELECT doc_id, list_sum(sig)::BIGINT AS sig_sum,
+       list_min(sig) AS sig_min, list_max(sig) AS sig_max FROM s
+"""
+
+
+def q_band_bucket_census(spark, sf_dir):
+    """LSH bucket-size census (the skew-planner input; SURVEY §4 skew
+    row). Output: one row of corpus-level bucket stats."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = compute_signatures(docs, CFG)
+    buckets = explode_bands(sigs, CFG)
+    census = buckets.groupBy("band_hash").agg(F.count("*").alias("cnt")).where("cnt >= 2")
+    return census.agg(
+        F.count("*").alias("n_buckets"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_bucketed_rows"),
+        F.coalesce(F.max("cnt"), F.lit(0)).alias("max_bucket"),
+    )
+
+
+O_BAND_BUCKET_CENSUS = f"""
+WITH w AS (SELECT doc_id, {OQ.duck_shingle_hashes(OQ.duck_shingles('text', CFG.shingle_k))} AS hs
+           FROM documents),
+s AS (SELECT doc_id, {OQ.duck_minhash('hs', CFG)} AS sig FROM w),
+b AS (SELECT doc_id, unnest({OQ.duck_bands('sig', CFG)}) AS band_hash FROM s),
+census AS (SELECT band_hash, count(*) AS cnt FROM b GROUP BY 1 HAVING count(*) >= 2)
+SELECT count(*) AS n_buckets,
+       coalesce(sum(cnt), 0)::BIGINT AS n_bucketed_rows,
+       coalesce(max(cnt), 0)::BIGINT AS max_bucket
+FROM census
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count_by_lang(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = docs.select("lang", F.expr(f"size({T.words_sql('text')})").cast("long").alias("n"))
+    return w.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"),
+    )
+
+
+O_TOKEN_COUNT_BY_LANG = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len({OQ.duck_words('text')}))::BIGINT AS total_tokens,
+       round(avg(len({OQ.duck_words('text')})), 6) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: length / distinct-token ratio / mean word length
+    (training-pipeline text-quality op) for a doc_id%10 sample."""
+    docs = _docs(spark, sf_dir).where("doc_id % 10 = 0")
+    w = docs.select("doc_id", F.expr(T.words_sql("text")).alias("w"))
+    return w.select(
+        "doc_id",
+        F.expr("size(w)").cast("long").alias("n_words"),
+        F.round(
+            F.expr("size(array_distinct(w)) / cast(size(w) as double)"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x)) / cast(size(w) as double)"),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+O_QUALITY_SCORES = f"""
+WITH w AS (SELECT doc_id, {OQ.duck_words('text')} AS w FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id, len(w)::BIGINT AS n_words,
+       round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+       round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS avg_word_len
+FROM w
+"""
+
+
+def q_stopword_langid(spark, sf_dir):
+    """Stopword-hit language-ID heuristic, aggregated per labeled lang:
+    hit rate of the common-token list (n-gram-heuristic lang-ID op)."""
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "lang",
+        F.expr(
+            f"size(array_intersect(array_distinct({T.words_sql('text')}), array({sw})))"
+        ).cast("long").alias("hits"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("hits"), 6).alias("avg_stopword_hits"),
+        F.sum(F.when(F.col("hits") >= 3, 1).otherwise(0)).cast("long").alias("n_pred_common"),
+    )
+
+
+def _o_stopword_langid() -> str:
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (SELECT lang,
+  len(list_intersect(list_distinct({OQ.duck_words('text')}), [{sw}]))::BIGINT AS hits
+  FROM documents)
+SELECT lang, count(*) AS n_docs, round(avg(hits), 6) AS avg_stopword_hits,
+       sum(CASE WHEN hits >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_pred_common
+FROM d GROUP BY lang
+"""
+
+
+def q_extract_text_roundtrip(spark, sf_dir):
+    """P9 invariant check as a query: wrap text in the html template,
+    re-extract, count byte-identical rows per lang."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "lang",
+        F.expr(
+            "regexp_extract(concat('<html><body><p>', text, '</p></body></html>'),"
+            " '<p>(.*)</p>', 1) = text"
+        ).alias("ok"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_roundtrip_ok"),
+    )
+
+
+O_EXTRACT_TEXT_ROUNDTRIP = """
+WITH d AS (SELECT lang,
+  (regexp_extract('<html><body><p>' || text || '</p></body></html>', '<p>(.*)</p>', 1) = text) AS ok
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip_ok
+FROM d GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings / similarity-search family
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _norm(col: str) -> str:
+    return f"sqrt(aggregate({col}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+
+def q_knn_cosine_top5(spark, sf_dir):
+    """Brute-force cosine top-5 per sampled query vector — the exact
+    k-NN baseline (ref: brute-force search, src/core/index.rs:666-685).
+    Tie-break: cosine desc, neighbor id asc (ref maxbuffer.hpp:28-31
+    breaks ties by id)."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where("vec_id % 50 = 0").selectExpr("vec_id AS query_id", "embedding AS va")
+    c = emb.selectExpr("vec_id AS neighbor_id", "embedding AS vb")
+    scored = (
+        q.crossJoin(c)
+        .where("query_id != neighbor_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_DOT} / ({_norm('va')} * {_norm('vb')}) AS cos",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 5")
+        .select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"), F.col("rank").cast("long"))
+    )
+
+
+O_KNN_COSINE_TOP5 = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+        (sqrt(list_sum(list_transform(q.v, x -> x*x))) * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+      FROM q, c WHERE query_id != neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, round(cos, 9) AS cos, rank::BIGINT AS rank FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "dup_clusters": q_dup_clusters,
+    "dedup_summary": q_dedup_summary,
+    "vocab_jaccard_pairs": q_vocab_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "minhash_sig_stats": q_minhash_sig_stats,
+    "band_bucket_census": q_band_bucket_census,
+    "token_count_by_lang": q_token_count_by_lang,
+    "quality_scores": q_quality_scores,
+    "stopword_langid": q_stopword_langid,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
+    "knn_cosine_top5": q_knn_cosine_top5,
+}
+
+ORACLES: dict[str, str] = {
+    "exact_dup_groups": O_EXACT_DUP_GROUPS,
+    "minhash_dedup_pairs": O_MINHASH_DEDUP_PAIRS,
+    "dup_clusters": O_DUP_CLUSTERS,
+    "dedup_summary": O_DEDUP_SUMMARY,
+    "vocab_jaccard_pairs": O_VOCAB_JACCARD_PAIRS,
+    "simhash_fingerprints": O_SIMHASH_FINGERPRINTS,
+    "minhash_sig_stats": O_MINHASH_SIG_STATS,
+    "band_bucket_census": O_BAND_BUCKET_CENSUS,
+    "token_count_by_lang": O_TOKEN_COUNT_BY_LANG,
+    "quality_scores": O_QUALITY_SCORES,
+    "stopword_langid": _o_stopword_langid(),
+    "extract_text_roundtrip": O_EXTRACT_TEXT_ROUNDTRIP,
+    "knn_cosine_top5": O_KNN_COSINE_TOP5,
+}

@@ -34,8 +34,16 @@ def duck_words(text_col: str) -> str:
 
 
 def duck_shingles(text_col: str, k: int) -> str:
-    w = duck_words(text_col)
-    # coalesce: DuckDB array_to_string([]) is NULL where Spark concat_ws is ''
+    return duck_shingles_from_words(duck_words(text_col), k)
+
+
+def duck_shingles_from_words(words_expr: str, k: int) -> str:
+    """Shingles from an already-computed words column (CTE-friendly —
+    inlining duck_words here would re-tokenize per shingle).
+
+    coalesce: DuckDB array_to_string([]) is NULL where Spark concat_ws
+    yields ''."""
+    w = words_expr
     return (
         f"list_distinct([coalesce(array_to_string(({w})[i : i + {k - 1}], ' '), '') "
         f"for i in range(1, greatest(1, len({w}) - {k} + 1) + 1)])"
