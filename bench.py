@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: end-to-end near-duplicate detection over documents.parquet at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]: signatures -> band buckets -> candidate pairs
+-> exact verify -> connected components -> summary.
+
+Extra modes:
+  SPARK_GRAFT_SCALING=1  also run the identical job in two fresh
+      subprocesses at local[8] and local[32] (the sandbox stand-in for
+      N vs 4N executors per BASELINE.md) and report throughputs +
+      scaling efficiency (T_8/T_32)/4.
+  (internal) --one-run MASTER  run one e2e pass and print seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _e2e(spark, docs, cfg, pair_mode="auto"):
+    from clann_spark.pipeline import dedup_summary, run_dedup
+
+    res = run_dedup(docs, cfg, pair_mode=pair_mode)
+    row = dedup_summary(res).collect()[0]
+    res.signatures.unpersist()
+    return row
+
+
+def _scaled_docs(spark, factor: int):
+    """Deterministically expand documents x factor for the scaling runs.
+
+    Each replica mutates a rep-dependent 1-in-7 word stride (appending
+    the rep id), which breaks ~5/7 of the 5-word shingles: replicas of
+    the same doc sit well below tau, so the dup structure stays
+    realistic instead of exploding into factor-sized exact-dup cliques.
+    The expansion is a pure function of (doc_id, rep) — identical input
+    for both parallelism levels, as the scaling protocol requires.
+    """
+    from pyspark.sql import functions as F
+
+    # repartition BEFORE the expansion: the single-file parquet arrives
+    # as 1 partition and would otherwise serialize generation + persist
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(max(64, spark.sparkContext.defaultParallelism * 2))
+    )
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '), "
+            "(w, i) -> IF(i % 7 = rep % 7, concat(w, '_', rep), w)))"
+        ).alias("text"),
+    )
+
+
+def one_run(master: str, factor: int) -> float:
+    """End-to-end run (JIT-warmed) used by the scaling comparison."""
+    from clann_spark.config import DedupConfig
+    from clann_spark.session import get_spark
+
+    spark = get_spark("bench-one", master=master)
+    cfg = DedupConfig(signature_impl="fast")
+    docs = _scaled_docs(spark, factor).persist()
+    docs.count()  # materialize the input so we time the pipeline, not gen
+    _e2e(spark, docs.limit(500), cfg)  # JIT/codegen warmup
+    t0 = time.time()
+    _e2e(spark, docs, cfg)
+    dt = time.time() - t0
+    spark.stop()
+    return dt
+
+
+def main() -> None:
+    from clann_spark.config import DedupConfig
+    from clann_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        queries[name] = round(time.time() - t0, 3)
+
+    cfg_fast = DedupConfig(signature_impl="fast")
+    cfg_oracle = DedupConfig()  # md5 expr path (the correctness-gate config)
+
+    from clann_spark.entry_queries import q_knn_cosine_top5
+    from clann_spark.operators.candidates import candidate_pairs
+    from clann_spark.operators.signatures import compute_signatures, explode_bands
+    from clann_spark.operators.verify import verify_pairs
+
+    # warmup: one untimed pass on a slice so JIT/codegen/Arrow init and
+    # shuffle-service warmth don't land on the first timed query
+    _e2e(spark, docs.limit(500), cfg_fast)
+
+    timed("e2e_dedup", lambda: _e2e(spark, docs, cfg_fast))
+    timed("e2e_dedup_md5", lambda: _e2e(spark, docs, cfg_oracle))
+
+    sigs = compute_signatures(docs, cfg_fast).drop("text").persist()
+    timed("signatures", lambda: sigs.count())
+    cands = candidate_pairs(explode_bands(sigs, cfg_fast), cfg_fast, "auto")
+    timed("candidates_verify", lambda: verify_pairs(cands, sigs, cfg_fast).count())
+    timed("knn_cosine_top5", lambda: q_knn_cosine_top5(spark, SF_DIR).count())
+    sigs.unpersist()
+    spark.stop()
+
+    out = {
+        "metric": "e2e dedup wall seconds (fast prod config) at sf; "
+        "docs_per_sec + scaling in extras",
+        "value": queries["e2e_dedup"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / queries["e2e_dedup"], 1),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "50"))
+        n_scaled = n_docs * factor
+        scaling = {"n_docs": n_scaled, "scale_factor": factor}
+        for master, key in (("local[8]", "t_8"), ("local[32]", "t_32")):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
+                capture_output=True, text=True, env=os.environ,
+            )
+            scaling[key] = float(p.stdout.strip().splitlines()[-1])
+        scaling["efficiency_8_to_32"] = round(scaling["t_8"] / scaling["t_32"] / 4.0, 3)
+        scaling["docs_per_sec_8"] = round(n_scaled / scaling["t_8"], 1)
+        scaling["docs_per_sec_32"] = round(n_scaled / scaling["t_32"], 1)
+        out["scaling"] = scaling
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one-run":
+        print(one_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 20))
+    else:
+        main()

@@ -80,11 +80,13 @@ class DedupConfig:
     # (ref: filterer.hpp:20-32 sketch filter).
     hamming_prefilter: int | None = None  # None = disabled (recall-safe)
 
-    # 'expr'  : pure Spark SQL expressions (JVM, codegen; md5-based,
-    #           bit-identical to the DuckDB oracle)
-    # 'pandas': vectorized Arrow/pandas UDFs (NumPy; same values)
-    # 'xxhash': Spark xxhash64-based production path (fastest; not
-    #           oracle-checkable because DuckDB lacks xxhash64)
+    # 'expr'  : pure Spark SQL expressions (md5-based, bit-identical to
+    #           the DuckDB oracle). NOTE: higher-order-function lambdas
+    #           are interpreted (no whole-stage codegen) -> ~40 ms/doc.
+    # 'pandas': Arrow/pandas UDF, same md5 values as 'expr'.
+    # 'xxhash': Spark xxhash64 exprs (same HOF interpretation cost).
+    # 'fast'  : fully vectorized NumPy pandas UDF (siphash + reduceat);
+    #           deterministic, not oracle-checkable — the scale path.
     signature_impl: str = "expr"
 
     def __post_init__(self) -> None:
@@ -93,7 +95,7 @@ class DedupConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"!= num_perm ({self.num_perm})"
             )
-        if self.signature_impl not in ("expr", "pandas", "xxhash"):
+        if self.signature_impl not in ("expr", "pandas", "xxhash", "fast"):
             raise ValueError(f"bad signature_impl {self.signature_impl!r}")
 
     @property

@@ -40,14 +40,27 @@ def bucket_census(bucket_df: DataFrame) -> DataFrame:
     return bucket_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("cnt"))
 
 
-def salted_buckets(bucket_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+def salted_buckets(
+    bucket_df: DataFrame,
+    cfg: DedupConfig,
+    broadcast_limit: int = 20_000_000,
+) -> DataFrame:
     """Join census back, drop singleton buckets, salt mega-buckets.
 
     Output: (doc_id, band_id, band_hash, salt, cnt). Singleton buckets
     (cnt=1) can never produce a pair and are dropped before the join —
     at web scale that is the vast majority of bucket rows.
+
+    The filtered census (cnt>=2) is typically a tiny fraction of the
+    bucket table; when it fits (row count below broadcast_limit) it is
+    broadcast so the full bucket table is never reshuffled for the
+    join-back — only the non-singleton survivors shuffle afterwards.
+    Falls back to a shuffle join for pathological corpora where even
+    the non-singleton census is huge.
     """
-    census = bucket_census(bucket_df).where(F.col("cnt") >= 2)
+    census = bucket_census(bucket_df).where(F.col("cnt") >= 2).persist()
+    if census.count() <= broadcast_limit:
+        census = F.broadcast(census)
     b = bucket_df.join(census, ["band_id", "band_hash"])
     n_salt = F.ceil(F.col("cnt") / F.lit(cfg.bucket_cap)).cast("int")
     return b.withColumn(

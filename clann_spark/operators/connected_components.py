@@ -51,18 +51,58 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(spark, edges: list) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver.
+
+    Alternating-star rounds cost ~10 Spark jobs each; below the
+    threshold the whole edge list fits comfortably in driver memory
+    (2M edges ≈ 32 MB) and union-find is O(E α). Same output contract.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 2,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(a, b) edges -> (doc_id, cluster_id) with cluster_id = component min.
 
     Only nodes that appear in an edge are returned (isolated docs keep
     themselves as their own cluster trivially; callers left-join).
+
+    Adaptive execution: the distinct edge count is known after the first
+    materialization; below driver_threshold the component resolution
+    runs as driver-side union-find (identical result, ~10x fewer jobs),
+    above it the O(log n)-round large-star/small-star loop runs fully
+    distributed. Dedup edge sets at 10^12-doc scale exceed any driver,
+    so the loop is the scale path; the threshold only short-circuits
+    the long tail of small graphs.
     """
     e = pairs.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
     e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        spark = pairs.sparkSession
+        if n_edges == 0:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return _driver_union_find(spark, [(r["u"], r["v"]) for r in e.collect()])
 
     def _fingerprint(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: (count, sum of row hashes).

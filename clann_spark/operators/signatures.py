@@ -27,11 +27,33 @@ from clann_spark.functions import text as T
 SIGNATURE_COLS = ("shingle_hashes", "sig", "bands", "simhash")
 
 
-def compute_signatures(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+def compute_signatures(
+    df: DataFrame,
+    cfg: DedupConfig,
+    text_col: str = "text",
+    include_shingles: bool = True,
+) -> DataFrame:
     """Append shingle_hashes / sig / bands / simhash to ``df``.
 
     Keeps every original column. Null text is treated as ''.
+
+    include_shingles=False drops the wide shingle-hash array from the
+    output (~2.4 KB/row vs ~270 B/row for bands+simhash): the pipeline
+    re-derives shingle sets for the few candidate docs at verify time
+    instead of carrying them through every shuffle — at 10^12 docs the
+    shingle column alone would be multi-PB of shuffle traffic.
     """
+    if cfg.signature_impl == "fast":
+        udf = H.fast_signature_udf(cfg, include_shingles=include_shingles)
+        out = df.withColumn("_s", udf(F.coalesce(F.col(text_col), F.lit(""))))
+        if include_shingles:
+            out = out.withColumn("shingle_hashes", F.col("_s.shingle_hashes"))
+        return (
+            out.withColumn("sig", F.col("_s.sig"))
+            .withColumn("simhash", F.col("_s.simhash"))
+            .withColumn("bands", F.col("_s.bands"))
+            .drop("_s")
+        )
     if cfg.signature_impl == "pandas":
         udf = H.signature_udf(cfg)
         out = df.withColumn("_s", udf(F.coalesce(F.col(text_col), F.lit(""))))
@@ -41,7 +63,8 @@ def compute_signatures(df: DataFrame, cfg: DedupConfig, text_col: str = "text") 
             .withColumn("simhash", F.col("_s.simhash"))
             .drop("_s")
         )
-        return out.withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
+        out = out.withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
+        return out if include_shingles else out.drop("shingle_hashes")
 
     txt = f"coalesce({text_col}, '')"
     if cfg.signature_impl == "xxhash":
@@ -58,7 +81,7 @@ def compute_signatures(df: DataFrame, cfg: DedupConfig, text_col: str = "text") 
     # minhash reference their input arrays many times (60 bit positions /
     # num_perm lanes) and CollapseProject only protects *aliased columns*
     # that are multi-referenced — an inlined chain would re-hash per use.
-    return (
+    out = (
         df.withColumn("_words", F.expr(T.words_sql(txt)))
         .withColumn("_shingles", F.expr(T.shingles_from_words_sql("_words", cfg.shingle_k)))
         .withColumn("shingle_hashes", F.expr(hashes))
@@ -68,6 +91,7 @@ def compute_signatures(df: DataFrame, cfg: DedupConfig, text_col: str = "text") 
         .withColumn("simhash", F.expr(H.simhash_sql("_word_hashes")))
         .drop("_words", "_shingles", "_word_hashes")
     )
+    return out if include_shingles else out.drop("shingle_hashes")
 
 
 def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:

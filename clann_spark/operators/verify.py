@@ -28,6 +28,7 @@ def verify_pairs(
     sig_df: DataFrame,
     cfg: DedupConfig,
     keep_below_tau: bool = False,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """(a, b) candidates -> (a, b, jaccard) verified pairs.
 
@@ -42,6 +43,12 @@ def verify_pairs(
     if has_simhash:
         cols.append(F.col("simhash"))
     s = sig_df.select(*cols)
+
+    # Broadcasting the (usually tiny) pair list keeps the wide signature
+    # table un-shuffled — the joins become map-side. The caller flips
+    # this on when the candidate count is known to fit (pipeline does).
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
 
     j = (
         pairs.join(
@@ -62,6 +69,69 @@ def verify_pairs(
     )
     if has_simhash:
         j = j.where(F.expr("bit_count(sim_a ^ sim_b)") <= cfg.hamming_prefilter)
+    out = j.select("a", "b", F.expr(JACCARD_SQL).alias("jaccard"))
+    if not keep_below_tau:
+        out = out.where(F.col("jaccard") >= cfg.tau)
+    return out
+
+
+def verify_pairs_from_text(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    keep_below_tau: bool = False,
+) -> DataFrame:
+    """Scale-path verification: re-derive shingle sets ONLY for docs that
+    appear in a candidate pair (semi-join reduction), so the corpus never
+    carries the wide shingle column through shuffles.
+
+    docs: (doc_id, text). The candidate doc set is broadcast (candidates
+    are a vanishing fraction of the corpus — if they weren't, the
+    banding plan is wrong, not this join).
+    """
+    cand_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id")
+
+    if cfg.signature_impl == "fast":
+        from clann_spark.functions.hashing import fast_shingle_hashes_udf
+
+        sh = cand_docs.select(
+            "doc_id",
+            fast_shingle_hashes_udf(cfg)(F.coalesce(F.col("text"), F.lit(""))).alias(
+                "shingle_hashes"
+            ),
+        )
+    else:
+        from clann_spark.functions import hashing as H
+        from clann_spark.functions import text as T
+
+        if cfg.signature_impl == "xxhash":
+            hashes = H.xxhash_shingle_hashes_sql("_shingles", cfg.seed)
+        else:
+            hashes = H.shingle_hashes_sql("_shingles")
+        sh = (
+            cand_docs.withColumn("_words", F.expr(T.words_sql("coalesce(text, '')")))
+            .withColumn(
+                "_shingles", F.expr(T.shingles_from_words_sql("_words", cfg.shingle_k))
+            )
+            .select("doc_id", F.expr(hashes).alias("shingle_hashes"))
+        )
+
+    j = (
+        F.broadcast(pairs)
+        .join(
+            sh.select(F.col("doc_id").alias("a"), F.col("shingle_hashes").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("shingle_hashes").alias("sh_b")),
+            "b",
+        )
+    )
     out = j.select("a", "b", F.expr(JACCARD_SQL).alias("jaccard"))
     if not keep_below_tau:
         out = out.where(F.col("jaccard") >= cfg.tau)

@@ -19,7 +19,7 @@ from clann_spark.config import DedupConfig
 from clann_spark.operators.candidates import candidate_pairs
 from clann_spark.operators.connected_components import connected_components
 from clann_spark.operators.signatures import compute_signatures, explode_bands
-from clann_spark.operators.verify import verify_pairs
+from clann_spark.operators.verify import verify_pairs_from_text
 
 
 def prepare_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
@@ -61,15 +61,29 @@ def run_dedup(
 ) -> DedupResult:
     """Full pipeline over any DataFrame with (id_col, text_col)."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sigs = compute_signatures(base, cfg).drop("text")
+    # Local-input guard: a single-file parquet arrives as 1 partition and
+    # would serialize the whole narrow signature stage. On a real cluster
+    # the scan splits by spark.sql.files.maxPartitionBytes and this is a
+    # no-op; only pathologically under-split inputs get reshuffled.
+    spark = docs.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < want:
+        base = base.repartition(want * 2)
+    # slim signatures: bands + simhash only (~270 B/row); shingle sets
+    # are re-derived for candidate docs at verify time
+    sigs = compute_signatures(base, cfg, include_shingles=False).drop("text")
     if persist_signatures:
-        # signatures feed both the bucket explode and the verify join;
-        # persisting avoids recomputing the hash chain twice.
         sigs = sigs.persist()
 
+    # The bucket table is consumed twice inside candidate_pairs (census +
+    # join-back); persist it so the explode isn't re-run. At 10^12-doc
+    # scale this persist becomes a written stage table (see sources/
+    # stages.py) — same dataflow, durable storage instead of cache.
     buckets = explode_bands(sigs, cfg)
-    cands = candidate_pairs(buckets, cfg, mode=pair_mode)
-    verified = verify_pairs(cands, sigs, cfg)
+    if persist_signatures:
+        buckets = buckets.persist()
+    cands = candidate_pairs(buckets, cfg, mode=pair_mode).persist()
+    verified = verify_pairs_from_text(cands, base, cfg).persist()
     clusters = connected_components(verified)
 
     assignments = (

@@ -34,8 +34,16 @@ def uf_oracle(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "a long, b long")
+    want = uf_oracle(edges)
+    # driver union-find fast path
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
-    assert got == uf_oracle(edges)
+    assert got == want
+    # distributed large-star/small-star path (threshold forced to 0)
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_cc_golden_shapes(spark):
