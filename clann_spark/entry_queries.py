@@ -416,6 +416,62 @@ SELECT query_id, neighbor_id, round(cos, 9) AS cos, rank::BIGINT AS rank FROM r 
 """
 
 
+def q_substring_pairs(spark, sf_dir):
+    """Exact >=120-char shared-substring pairs via winnowing + suffix
+    array (north_rule substring pass). Rows-only (winnowing + SA are
+    not ANSI-SQL-expressible); oracles live in tests/test_substring.py."""
+    from clann_spark.operators.substring import substring_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_pairs(docs, min_len=120).select("a", "b", "lcs_len")
+
+
+def q_gonzalez_partition_stats(spark, sf_dir):
+    """Coarse Gonzalez partitioning of the embedding space (the clann
+    build stage, gmm.rs:21-63): per-partition size/radius/routing.
+    Rows-only check (sample+argmin is not ANSI-SQL-expressible)."""
+    from clann_spark.operators.clustering import (
+        assign_partitions,
+        cluster_stats,
+        fit_partitioner,
+    )
+
+    emb = _emb(spark, sf_dir)
+    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8)
+    assigned = assign_partitions(emb, centers, "embedding")
+    return cluster_stats(assigned).orderBy("partition_id")
+
+
+def q_ann_ivf_top5(spark, sf_dir):
+    """IVF ANN top-5 (cluster-then-probe, nprobe=4 of 8). Rows-only;
+    recall vs the exact oracle is asserted in tests/test_knn.py."""
+    from clann_spark.operators.clustering import fit_partitioner
+    from clann_spark.operators.knn import knn_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where("vec_id % 50 = 0")
+    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8)
+    return knn_ivf(queries, emb, centers, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank"
+    )
+
+
+def q_lsh_query_top3(spark, sf_dir):
+    """Incremental-dedup query mode (J2 probe path): every doc_id%100
+    doc queried against the corpus bucket table. Rows-only."""
+    from clann_spark.operators.knn import lsh_text_query
+    from clann_spark.operators.signatures import compute_signatures
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = compute_signatures(docs, CFG, include_shingles=False).select("doc_id", "bands")
+    queries = docs.where("doc_id % 100 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return lsh_text_query(queries, sigs, docs, CFG, k=3).select(
+        "query_id", "doc_id", F.round("jaccard", 6).alias("jaccard"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -434,6 +490,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_langid": q_stopword_langid,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "knn_cosine_top5": q_knn_cosine_top5,
+    "substring_pairs_120": q_substring_pairs,
+    "gonzalez_partition_stats": q_gonzalez_partition_stats,
+    "ann_ivf_top5": q_ann_ivf_top5,
+    "lsh_query_top3": q_lsh_query_top3,
 }
 
 ORACLES: dict[str, str] = {

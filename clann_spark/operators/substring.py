@@ -1,0 +1,199 @@
+"""Exact long-substring duplicate detection (north_rule: "a
+suffix-array pass for exact long-substring dup detection within
+buckets").
+
+Two stages, both target-only (the reference has no substring operator;
+its closest analog is the set-based Jaccard path):
+
+  1. Candidate generation by WINNOWING fingerprints (Schleimer et al.,
+     SIGMOD'03 — the MOSS algorithm): per doc, polynomial rolling
+     hashes of all L-char windows, then the min hash of each w-hash
+     window, deduped. Two docs sharing any >=L-char run share at least
+     one fingerprint (winnowing guarantee for runs >= L + w - 1).
+     Vectorized NumPy inside a pandas UDF; fingerprints explode to a
+     bucket table exactly like MinHash bands.
+
+  2. Exact verification with a SUFFIX ARRAY: for each candidate pair,
+     build the suffix array + Kasai LCP of a#b and report the longest
+     common run crossing the separator. applyInPandas per pair group —
+     pairs are few, texts are bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROLL_BASE = np.int64(257)
+ROLL_MOD = np.int64((1 << 31) - 1)
+
+
+def rolling_window_hashes(text: str, window: int) -> np.ndarray:
+    """Polynomial hashes of every `window`-char substring, vectorized.
+
+    h[i] = sum_j b[i+j] * BASE^(window-1-j) mod MOD — computed as a
+    sliding-window matrix product in int64 (values < 2^45, no overflow).
+    """
+    b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+    n = b.size
+    if n < window:
+        return np.empty(0, dtype=np.int64)
+    powers = np.empty(window, dtype=np.int64)
+    powers[-1] = 1
+    for j in range(window - 2, -1, -1):
+        powers[j] = (powers[j + 1] * ROLL_BASE) % ROLL_MOD
+    win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.int64)
+    return (win @ powers) % ROLL_MOD
+
+
+def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Distinct min-hash per sliding window of w hashes (the winnowing
+    selection rule). Guarantees: any common substring of length
+    >= window + w - 1 chars yields a shared selected fingerprint."""
+    if hashes.size == 0:
+        return hashes
+    if hashes.size <= w:
+        return np.unique(hashes.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprint_udf(window: int = 64, w: int = 32):
+    """text -> array<long> winnowed fingerprints."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = rolling_window_hashes(t or "", window)
+            out.append(winnow(h, w).tolist())
+        return pd.Series(out)
+
+    return _fp
+
+
+# ---------------------------------------------------------------------------
+# suffix array + Kasai LCP (NumPy doubling — O(n log n))
+# ---------------------------------------------------------------------------
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an int array via prefix-doubling + argsort."""
+    n = s.size
+    sa = np.argsort(s, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.concatenate(([0], np.cumsum(s[sa][1:] != s[sa][:-1])))
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        sa = order
+        tmp[sa[0]] = 0
+        prev, cur = sa[:-1], sa[1:]
+        newgrp = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        tmp[cur] = np.cumsum(newgrp)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP array: lcp[i] = common prefix length of sa[i-1], sa[i]."""
+    n = s.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact LCS length between two strings via suffix array + LCP of
+    a <sep> b: max lcp between adjacent suffixes from different docs."""
+    ab = np.frombuffer(a.encode("utf-8", errors="replace"), dtype=np.uint8).astype(np.int64)
+    bb = np.frombuffer(b.encode("utf-8", errors="replace"), dtype=np.uint8).astype(np.int64)
+    if ab.size == 0 or bb.size == 0:
+        return 0
+    # the 256 separator never occurs in either byte stream, so no common
+    # prefix between an a-suffix and a b-suffix can cross it
+    s = np.concatenate((ab, np.array([256], dtype=np.int64), bb))
+    sa = suffix_array(s)
+    lcp = kasai_lcp(s, sa)
+    na = ab.size
+    own = sa > na  # suffix starts in b (positions na+1..)
+    cross = own[1:] != own[:-1]
+    if not cross.any():
+        return 0
+    return int(lcp[1:][cross].max())
+
+
+def substring_pairs(
+    docs: DataFrame,
+    min_len: int = 256,
+    window: int | None = None,
+    w: int = 32,
+) -> DataFrame:
+    """(doc_id, text) -> (a, b, lcs_len) pairs sharing an exact common
+    substring of >= min_len chars.
+
+    window is derived so the winnowing guarantee covers min_len:
+    window + w - 1 <= min_len. Candidates explode/groupBy exactly like
+    LSH bands; verification joins text back for candidate docs only
+    (same semi-join shape as the MinHash verify)."""
+    window = window or (min_len - w + 1 if min_len - w + 1 > 0 else min_len)
+    assert window + w - 1 <= min_len or min_len < w
+
+    fp = docs.select("doc_id", fingerprint_udf(window, w)(F.coalesce("text", F.lit(""))).alias("fps"))
+    buckets = fp.select("doc_id", F.explode("fps").alias("fp"))
+    census = buckets.groupBy("fp").agg(F.count("*").alias("cnt")).where("cnt >= 2")
+    nb = buckets.join(F.broadcast(census), "fp")
+    left = nb.select(F.col("fp"), F.col("doc_id").alias("a"))
+    right = nb.select(F.col("fp"), F.col("doc_id").alias("b"))
+    cands = (
+        left.join(right, "fp").where("a < b").select("a", "b").dropDuplicates(["a", "b"])
+    )
+
+    texts = docs.select("doc_id", "text")
+    cand_ids = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cand_texts = texts.join(F.broadcast(cand_ids), "doc_id")
+
+    j = (
+        F.broadcast(cands)
+        .join(cand_texts.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
+        .join(cand_texts.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
+    )
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [longest_common_substring_len(x or "", y or "") for x, y in zip(ta, tb)]
+        )
+
+    return (
+        j.select("a", "b", _lcs("ta", "tb").alias("lcs_len"))
+        .where(F.col("lcs_len") >= min_len)
+    )

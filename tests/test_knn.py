@@ -1,0 +1,82 @@
+"""k-NN / ANN: exact top-k vs numpy oracle; IVF recall vs exact
+(reference recall-vs-bruteforce pattern, puffinn.rs:178-225); LSH text
+query mode finds planted near-dups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clann_spark.config import DedupConfig
+from clann_spark.operators.clustering import fit_partitioner
+from clann_spark.operators.knn import knn_bruteforce, knn_ivf, lsh_text_query
+from clann_spark.operators.signatures import compute_signatures
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, embeddings):
+    return embeddings.cache()
+
+
+def _numpy_topk(rows, k):
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    out = {}
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        order = sorted(
+            [(float(-sims[qi, j]), int(ids[j])) for j in range(len(ids)) if j != qi]
+        )[:k]
+        out[int(qid)] = [nid for _, nid in order]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, emb_small):
+    queries = emb_small.where("vec_id % 50 = 0")
+    got_rows = knn_bruteforce(queries, emb_small, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = _numpy_topk(emb_small.collect(), 5)
+    assert got == want
+
+
+def test_ivf_recall_vs_exact(spark, emb_small):
+    queries = emb_small.where("vec_id % 50 = 0")
+    exact = knn_bruteforce(queries, emb_small, k=5).collect()
+    centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
+    approx = knn_ivf(queries, emb_small, centers, k=5, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=4 of 8 partitions: the reference accepts 0.8*delta recall
+    # in its statistical tests (puffinn.rs:189-223); we require 0.6 for
+    # a half-probe config on random vectors
+    assert recall >= 0.6, recall
+
+
+def test_lsh_text_query_finds_near_dups(spark):
+    cfg = DedupConfig()
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over lazy dog number {i} " * 8) for i in range(50)],
+        "doc_id long, text string",
+    )
+    sigs = compute_signatures(corpus, cfg, include_shingles=False).select("doc_id", "bands")
+    # queries: near-clone of doc 7 and one unrelated doc
+    queries = spark.createDataFrame(
+        [
+            (1007, "the quick brown fox jumps over lazy dog number 7 " * 8),
+            (9999, "completely unrelated query text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = lsh_text_query(queries, sigs, corpus, cfg, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["jaccard"], r["rank"]))
+    assert by_q[1007][0][0] == 7 and by_q[1007][0][1] > 0.9
+    assert 9999 not in by_q  # no bucket collision for unrelated text
