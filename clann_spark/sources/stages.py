@@ -1,0 +1,184 @@
+"""Stage tables with lineage, metrics, and resume-from-checkpoint.
+
+north_rule: "every stage writes per-partition lineage and counters to
+Iceberg metadata tables so the pipeline resumes from the last committed
+checkpoint." This sandbox has no Iceberg runtime jar, so stage tables
+are parquet directories + a JSON lineage sidecar per stage — the same
+commit protocol (atomic _SUCCESS marker + metadata row) Iceberg gives
+via snapshots; swap StageRunner._committed/_write for catalog calls to
+run on a real lakehouse.
+
+Reference parity: index serialize/load (S3/S4 — src/core/index.rs:
+511-557 writes config JSON + per-cluster blobs; init_from_file
+re-reads them, index.rs:107-162) and the SQLite metrics store (S5 —
+result_schema.sql, Run/Query/Cluster granularity) become stage tables
+plus a metrics parquet appended per stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clann_spark.config import DedupConfig
+
+
+def _config_fingerprint(cfg: DedupConfig) -> str:
+    return hashlib.md5(json.dumps(asdict(cfg), sort_keys=True).encode()).hexdigest()
+
+
+class StageRunner:
+    """Executes named stages exactly once per (workdir, config).
+
+    stage(name, builder): if the stage directory holds a committed
+    _SUCCESS marker AND a lineage row with a matching config
+    fingerprint, the stage is SKIPPED and read back from parquet;
+    otherwise builder() runs, the result is written, and lineage +
+    metrics are recorded. Per-partition lineage = one row per output
+    file with its row count (from the parquet footers).
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str, cfg: DedupConfig, run_id: str = "run"):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        self.run_id = run_id
+        self.fingerprint = _config_fingerprint(cfg)
+        self.executed: list[str] = []   # stages actually built this run
+        self.skipped: list[str] = []    # stages resumed from checkpoint
+        os.makedirs(os.path.join(workdir, "_lineage"), exist_ok=True)
+
+    # -- commit protocol -----------------------------------------------------
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def _lineage_path(self, name: str) -> str:
+        return os.path.join(self.workdir, "_lineage", f"{name}.json")
+
+    def _committed(self, name: str) -> bool:
+        d = self._stage_dir(name)
+        lp = self._lineage_path(name)
+        if not (os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(lp)):
+            return False
+        try:
+            with open(lp) as f:
+                lineage = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return lineage.get("config_fingerprint") == self.fingerprint
+
+    def _per_file_rows(self, name: str) -> list[dict]:
+        """Per-partition lineage: one entry per committed parquet file."""
+        import pyarrow.parquet as pq
+
+        d = self._stage_dir(name)
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                out.append({"file": fn, "rows": md.num_rows, "bytes": os.path.getsize(os.path.join(d, fn))})
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def stage(self, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
+        if self._committed(name):
+            self.skipped.append(name)
+            return self.spark.read.parquet(self._stage_dir(name))
+
+        t0 = time.time()
+        df = builder()
+        df.write.mode("overwrite").parquet(self._stage_dir(name))
+        wall_ms = int((time.time() - t0) * 1000)
+
+        files = self._per_file_rows(name)
+        lineage = {
+            "run_id": self.run_id,
+            "stage": name,
+            "config_fingerprint": self.fingerprint,
+            "rows": sum(f["rows"] for f in files),
+            "n_files": len(files),
+            "wall_ms": wall_ms,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partitions": files,
+        }
+        tmp = self._lineage_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(tmp, self._lineage_path(name))  # atomic commit
+        self.executed.append(name)
+        return self.spark.read.parquet(self._stage_dir(name))
+
+    def metrics(self) -> DataFrame:
+        """All committed lineage rows as a DataFrame (the reference's
+        build_metrics/search_metrics analog)."""
+        rows = []
+        ldir = os.path.join(self.workdir, "_lineage")
+        for fn in sorted(os.listdir(ldir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(ldir, fn)) as f:
+                    li = json.load(f)
+                rows.append(
+                    (
+                        li["run_id"], li["stage"], li["rows"], li["n_files"],
+                        li["wall_ms"], li["committed_at"],
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "run_id string, stage string, rows long, n_files long, wall_ms long, committed_at string"
+        )
+
+
+def run_dedup_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    workdir: str,
+    pair_mode: str = "auto",
+) -> dict:
+    """The full dedup pipeline as resumable committed stages.
+
+    Stage graph: signatures -> buckets -> candidates -> verified ->
+    clusters -> assignments. Killing the job between any two stages and
+    re-running skips every committed stage (tests/test_resume.py).
+    """
+    from pyspark.sql import functions as F
+
+    from clann_spark.operators.candidates import candidate_pairs
+    from clann_spark.operators.connected_components import connected_components
+    from clann_spark.operators.signatures import compute_signatures, explode_bands
+    from clann_spark.operators.verify import verify_pairs_from_text
+
+    runner = StageRunner(spark, workdir, cfg)
+    base = docs.select("doc_id", "text")
+
+    sigs = runner.stage(
+        "signatures", lambda: compute_signatures(base, cfg, include_shingles=False).drop("text")
+    )
+    buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg))
+    cands = runner.stage("candidates", lambda: candidate_pairs(buckets, cfg, mode=pair_mode))
+    verified = runner.stage("verified", lambda: verify_pairs_from_text(cands, base, cfg))
+    clusters = runner.stage("clusters", lambda: connected_components(verified))
+    assignments = runner.stage(
+        "assignments",
+        lambda: base.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")),
+    )
+    return {
+        "runner": runner,
+        "signatures": sigs,
+        "buckets": buckets,
+        "candidates": cands,
+        "verified": verified,
+        "clusters": clusters,
+        "assignments": assignments,
+        "metrics": runner.metrics(),
+    }
