@@ -416,6 +416,105 @@ SELECT query_id, neighbor_id, round(cos, 9) AS cos, rank::BIGINT AS rank FROM r 
 """
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 4) via banded pigeonhole —
+    deterministic recall 1.0, so the result equals the brute-force
+    oracle exactly. Sampled to doc_id%2 to bound the oracle cross join."""
+    from clann_spark.operators.simhash_dedup import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir).where("doc_id % 2 = 0").select("doc_id", "text")
+    sigs = compute_signatures(docs, CFG).select("doc_id", "simhash")
+    return simhash_near_pairs(sigs, max_hamming=4)
+
+
+O_SIMHASH_HAMMING_PAIRS = f"""
+WITH h AS (SELECT doc_id, {OQ.duck_word_hashes('text')} AS wh
+           FROM documents WHERE doc_id % 2 = 0),
+s AS (SELECT doc_id, {OQ.duck_simhash('wh')} AS sh FROM h)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sh, b.sh)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 4
+"""
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, threshold 0.4) on a
+    vec_id%5 sample — the embedding-space analog of the Jaccard verify."""
+    emb = _emb(spark, sf_dir).where("vec_id % 5 = 0")
+    a = emb.selectExpr("vec_id AS a", "embedding AS va")
+    b = emb.selectExpr("vec_id AS b", "embedding AS vb")
+    return (
+        a.crossJoin(b)
+        .where("a < b")
+        .selectExpr("a", "b", f"{_DOT} / ({_norm('va')} * {_norm('vb')}) AS cos")
+        .where("cos >= 0.4")
+        .selectExpr("a", "b", "round(cos, 9) AS cos")
+    )
+
+
+O_EMBEDDING_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT a, b, round(cos, 9) AS cos FROM p WHERE cos >= 0.4
+"""
+
+
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+# Spark SQL string literals consume one backslash level; DuckDB doesn't
+TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")
+
+
+def q_regex_token_stats(spark, sf_dir):
+    """BPE-ish regex tokenization (words + punctuation as separate
+    tokens) — token counting beyond whitespace split."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "lang",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE_SPARK}', 0))")
+        .cast("long")
+        .alias("n"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_regex_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_regex_tokens"),
+    )
+
+
+O_REGEX_TOKEN_STATS = f"""
+WITH d AS (SELECT lang, len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS n
+           FROM documents)
+SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS total_regex_tokens,
+       round(avg(n), 6) AS avg_regex_tokens
+FROM d GROUP BY lang
+"""
+
+
+def q_media_pipeline_stats(spark, sf_dir):
+    """Multimodal plumbing smoke: synthesize a deterministic media
+    table, decode+featurize, resize, frame-sample; per-kind row stats.
+    Rows-only (binary payload ops are not SQL-expressible)."""
+    from clann_spark.operators.multimodal import (
+        decode_and_featurize,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=120)
+    dec = decode_and_featurize(media)
+    frames = sample_frames(media)
+    stats = (
+        media.join(dec.select("media_id", "n_bytes"), "media_id")
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_media"), F.sum("n_bytes").alias("total_bytes"))
+    )
+    n_frames = frames.groupBy().agg(F.count("*").alias("cnt")).collect()[0]["cnt"]
+    return stats.withColumn("n_video_frames", F.lit(n_frames).cast("long"))
+
+
 def q_substring_pairs(spark, sf_dir):
     """Exact >=120-char shared-substring pairs via winnowing + suffix
     array (north_rule substring pass). Rows-only (winnowing + SA are
@@ -490,6 +589,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_langid": q_stopword_langid,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "knn_cosine_top5": q_knn_cosine_top5,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "regex_token_stats": q_regex_token_stats,
+    "media_pipeline_stats": q_media_pipeline_stats,
     "substring_pairs_120": q_substring_pairs,
     "gonzalez_partition_stats": q_gonzalez_partition_stats,
     "ann_ivf_top5": q_ann_ivf_top5,
@@ -510,4 +613,7 @@ ORACLES: dict[str, str] = {
     "stopword_langid": _o_stopword_langid(),
     "extract_text_roundtrip": O_EXTRACT_TEXT_ROUNDTRIP,
     "knn_cosine_top5": O_KNN_COSINE_TOP5,
+    "simhash_hamming_pairs": O_SIMHASH_HAMMING_PAIRS,
+    "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS,
+    "regex_token_stats": O_REGEX_TOKEN_STATS,
 }
