@@ -8,9 +8,9 @@ local[$SPARK_GRAFT_CPUS]: signatures -> band buckets -> candidate pairs
 
 Extra modes:
   SPARK_GRAFT_SCALING=1  also run the identical job in two fresh
-      subprocesses at local[8] and local[32] (the sandbox stand-in for
-      N vs 4N executors per BASELINE.md) and report throughputs +
-      scaling efficiency (T_8/T_32)/4.
+      subprocesses at N and 4N cores (local[2] vs local[8], the
+      sandbox stand-in for N vs 4N executors per BASELINE.md) and
+      report throughputs + scaling efficiency (T_n/T_4n)/4.
   (internal) --one-run MASTER  run one e2e pass and print seconds.
 """
 
@@ -134,18 +134,22 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "50"))
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "400"))
         n_scaled = n_docs * factor
         scaling = {"n_docs": n_scaled, "scale_factor": factor}
-        for master, key in (("local[8]", "t_8"), ("local[32]", "t_32")):
+        # N vs 4N CORES (local[2] vs local[8]): the allowed sandbox
+        # stand-in for N vs 4N executors. Higher thread counts and
+        # multi-JVM local-cluster both hit host memory-compaction noise
+        # on this VM (see BASELINE.md scaling notes).
+        for master, key in (("local[2]", "t_n"), ("local[8]", "t_4n")):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
                 capture_output=True, text=True, env=os.environ,
             )
             scaling[key] = float(p.stdout.strip().splitlines()[-1])
-        scaling["efficiency_8_to_32"] = round(scaling["t_8"] / scaling["t_32"] / 4.0, 3)
-        scaling["docs_per_sec_8"] = round(n_scaled / scaling["t_8"], 1)
-        scaling["docs_per_sec_32"] = round(n_scaled / scaling["t_32"], 1)
+        scaling["efficiency_n_to_4n"] = round(scaling["t_n"] / scaling["t_4n"] / 4.0, 3)
+        scaling["docs_per_sec_n"] = round(n_scaled / scaling["t_n"], 1)
+        scaling["docs_per_sec_4n"] = round(n_scaled / scaling["t_4n"], 1)
         out["scaling"] = scaling
 
     print(json.dumps(out))

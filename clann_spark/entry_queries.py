@@ -416,6 +416,25 @@ SELECT query_id, neighbor_id, round(cos, 9) AS cos, rank::BIGINT AS rank FROM r 
 """
 
 
+def q_top_similar_pairs(spark, sf_dir):
+    """Global top-20 most-similar pairs (A3 pair-buffer analog,
+    maxpairbuffer.hpp:13-125): Spark's TakeOrderedAndProject replaces
+    the thread-merged 2k buffer. Tie-break by (a, b) for determinism."""
+    v = _verified_pairs_df(spark, sf_dir)
+    return (
+        v.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+O_TOP_SIMILAR_PAIRS = f"""
+WITH {_oracle_bf_pairs(CFG.tau)}
+SELECT a, b, round(j, 6) AS jaccard FROM p WHERE j >= {CFG.tau}
+ORDER BY j DESC, a ASC, b ASC LIMIT 20
+"""
+
+
 def q_simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 4) via banded pigeonhole —
     deterministic recall 1.0, so the result equals the brute-force
@@ -589,6 +608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_langid": q_stopword_langid,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "knn_cosine_top5": q_knn_cosine_top5,
+    "top_similar_pairs": q_top_similar_pairs,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "regex_token_stats": q_regex_token_stats,
@@ -613,6 +633,7 @@ ORACLES: dict[str, str] = {
     "stopword_langid": _o_stopword_langid(),
     "extract_text_roundtrip": O_EXTRACT_TEXT_ROUNDTRIP,
     "knn_cosine_top5": O_KNN_COSINE_TOP5,
+    "top_similar_pairs": O_TOP_SIMILAR_PAIRS,
     "simhash_hamming_pairs": O_SIMHASH_HAMMING_PAIRS,
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS,
     "regex_token_stats": O_REGEX_TOKEN_STATS,

@@ -28,7 +28,6 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from clann_spark.config import MINHASH_PRIME, SIMHASH_BITS, DedupConfig

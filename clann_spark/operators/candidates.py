@@ -51,12 +51,13 @@ def salted_buckets(
     (cnt=1) can never produce a pair and are dropped before the join —
     at web scale that is the vast majority of bucket rows.
 
-    The filtered census (cnt>=2) is typically a tiny fraction of the
-    bucket table; when it fits (row count below broadcast_limit) it is
-    broadcast so the full bucket table is never reshuffled for the
-    join-back — only the non-singleton survivors shuffle afterwards.
-    Falls back to a shuffle join for pathological corpora where even
-    the non-singleton census is huge.
+    Strategy note (measured at 2M docs / 64M bucket rows): a window
+    count over band_hash avoids the census side-table but forces a full
+    SORT of the bucket table — 2x slower end-to-end than hash-agg
+    census + broadcast join-back. The census broadcast has a serial
+    driver collect that grows with corpus size; above broadcast_limit
+    rows it falls back to a parallel shuffle join (the 10^12-doc path,
+    where the cnt>=2 census itself is sharded).
     """
     census = bucket_census(bucket_df).where(F.col("cnt") >= 2).persist()
     if census.count() <= broadcast_limit:

@@ -76,12 +76,11 @@ def run_dedup(
         sigs = sigs.persist()
 
     # The bucket table is consumed twice inside candidate_pairs (census +
-    # join-back); persist it so the explode isn't re-run. At 10^12-doc
-    # scale this persist becomes a written stage table (see sources/
-    # stages.py) — same dataflow, durable storage instead of cache.
+    # join-back) but exploding from the persisted slim signatures is a
+    # trivial narrow op — caching 32x more rows costs more memory churn
+    # than the recompute. (In the checkpointed pipeline the bucket table
+    # IS written once as a stage table — sources/stages.py.)
     buckets = explode_bands(sigs, cfg)
-    if persist_signatures:
-        buckets = buckets.persist()
     cands = candidate_pairs(buckets, cfg, mode=pair_mode).persist()
     verified = verify_pairs_from_text(cands, base, cfg).persist()
     clusters = connected_components(verified)

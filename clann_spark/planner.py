@@ -28,6 +28,36 @@ def candidate_probability(s: float, bands: int, rows_per_band: int) -> float:
     return 1.0 - (1.0 - s**rows_per_band) ** bands
 
 
+def simhash_collision_probability(cos_sim: float) -> float:
+    """P[one SimHash bit agrees] = 1 - acos(s)/pi for cosine similarity
+    s (ref: simhash.hpp:96-102, which states it over 2s-1 because its
+    input is the [0,1]-mapped similarity). Used to pick the Hamming
+    prefilter threshold offline."""
+    s = min(1.0, max(-1.0, cos_sim))
+    return 1.0 - math.acos(s) / math.pi
+
+
+def hamming_threshold_for(cos_sim: float, target_recall: float, bits: int = 60) -> int:
+    """Smallest Hamming cutoff t so that P[Hamming(a,b) <= t] >=
+    target_recall for a pair at cosine similarity cos_sim (binomial
+    tail over independent bits — the offline analog of the reference's
+    per-query sketch threshold, filterer.hpp:108-111)."""
+    p_disagree = 1.0 - simhash_collision_probability(cos_sim)
+    # accumulate binomial CDF until target is covered
+    prob = 0.0
+    log_c = 0.0  # log C(bits, j) built incrementally
+    for t in range(bits + 1):
+        if t > 0:
+            log_c += math.log(bits - t + 1) - math.log(t)
+        term = math.exp(
+            log_c + t * math.log(max(p_disagree, 1e-300)) + (bits - t) * math.log(max(1 - p_disagree, 1e-300))
+        )
+        prob += term
+        if prob >= target_recall:
+            return t
+    return bits
+
+
 def lsh_threshold(bands: int, rows_per_band: int) -> float:
     """The similarity where the banding S-curve crosses ~0.5:
     (1/b)^(1/r) — the classic approximation."""

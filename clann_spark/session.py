@@ -30,8 +30,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        spec = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        if spec == "*":
+            shuffle_partitions = 32
+        elif "," in spec:  # local-cluster[workers,cores,mem]
+            workers, cores = spec.split(",")[:2]
+            shuffle_partitions = max(8, int(workers) * int(cores))
+        else:
+            shuffle_partitions = max(8, int(spec))
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -48,6 +54,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # multi-JVM modes (local-cluster / standalone): executors must
+        # also see the package
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

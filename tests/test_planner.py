@@ -39,3 +39,15 @@ def test_plan_banding_solves_inequality():
 def test_plan_banding_infeasible():
     with pytest.raises(ValueError):
         plan_banding(0.05, target_recall=0.999999, max_perm=8)
+
+
+def test_simhash_collision_probability():
+    from clann_spark.planner import hamming_threshold_for, simhash_collision_probability
+
+    assert abs(simhash_collision_probability(1.0) - 1.0) < 1e-12
+    assert abs(simhash_collision_probability(0.0) - 0.5) < 1e-12
+    assert abs(simhash_collision_probability(-1.0)) < 1e-12
+    # threshold grows as similarity drops; extremes behave
+    t_hi = hamming_threshold_for(0.95, 0.99)
+    t_lo = hamming_threshold_for(0.6, 0.99)
+    assert 0 < t_hi < t_lo <= 60

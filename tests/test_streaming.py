@@ -1,0 +1,69 @@
+"""Structured-Streaming incremental dedup: file-source micro-batches
+matched against the corpus; checkpoint makes re-runs exactly-once."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clann_spark.config import DedupConfig
+from clann_spark.operators.signatures import compute_signatures
+from clann_spark.streaming.incremental import stream_dedup_query
+
+CFG = DedupConfig(signature_impl="fast")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, f"corpus document number {i} with stable words repeated " * 6) for i in range(40)],
+        "doc_id long, text string",
+    ).cache()
+    sigs = compute_signatures(docs, CFG, include_shingles=False).select("doc_id", "bands").cache()
+    sigs.count()
+    return docs, sigs
+
+
+def _write_batch(spark, d, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+
+def test_stream_matches_and_checkpoint(spark, corpus, tmp_path_factory):
+    docs, sigs = corpus
+    base = str(tmp_path_factory.mktemp("stream"))
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir)
+
+    # batch 1: a near-clone of corpus doc 7 + an unrelated doc
+    _write_batch(
+        spark,
+        in_dir,
+        [(1007, "corpus document number 7 with stable words repeated " * 6),
+         (9999, "entirely novel text nothing like the corpus at all")],
+    )
+    q = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    got = {(r["query_id"], r["doc_id"]) for r in out.where("rank = 1").collect()}
+    assert (1007, 7) in got
+    assert not any(qid == 9999 for qid, _ in got)
+    n1 = out.count()
+
+    # re-running with the same checkpoint must NOT reprocess batch 1
+    q2 = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # batch 2 arrives: only the new doc is processed
+    _write_batch(
+        spark, in_dir, [(1013, "corpus document number 13 with stable words repeated " * 6)]
+    )
+    q3 = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt)
+    q3.awaitTermination(120)
+    out3 = spark.read.parquet(out_dir)
+    got3 = {(r["query_id"], r["doc_id"]) for r in out3.where("rank = 1").collect()}
+    assert (1013, 13) in got3
