@@ -43,7 +43,7 @@ def bucket_census(bucket_df: DataFrame) -> DataFrame:
 def salted_buckets(
     bucket_df: DataFrame,
     cfg: DedupConfig,
-    broadcast_limit: int = 20_000_000,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Join census back, drop singleton buckets, salt mega-buckets.
 
