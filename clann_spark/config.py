@@ -75,6 +75,15 @@ class DedupConfig:
     # collection.hpp:415-441 loops whole segments unconditionally).
     bucket_cap: int = 5000
 
+    # Row-count gate for map-side (broadcast) joins of derived small
+    # tables (candidate pairs, candidate-doc id lists, bucket censuses).
+    # At or below the limit the side is broadcast; above it every such
+    # join degrades to a parallel shuffle join — the 10^12-doc path,
+    # where a duplicate-heavy corpus can make "candidates" billions of
+    # rows that no executor could hold. Tests force 0 to prove the pure
+    # shuffle plan produces the identical pair set.
+    broadcast_limit: int = 4_000_000
+
     # SimHash prefilter: candidate pairs with Hamming distance above
     # this on the 60-bit fingerprint are dropped before exact verify
     # (ref: filterer.hpp:20-32 sketch filter).

@@ -530,8 +530,10 @@ def q_media_pipeline_stats(spark, sf_dir):
         .groupBy("kind")
         .agg(F.count("*").alias("n_media"), F.sum("n_bytes").alias("total_bytes"))
     )
-    n_frames = frames.groupBy().agg(F.count("*").alias("cnt")).collect()[0]["cnt"]
-    return stats.withColumn("n_video_frames", F.lit(n_frames).cast("long"))
+    # lazy 1-row crossJoin instead of a mid-plan collect: the frame count
+    # stays inside the same job the driver/oracle gate executes
+    n_frames = frames.groupBy().agg(F.count("*").cast("long").alias("n_video_frames"))
+    return stats.crossJoin(n_frames)
 
 
 def q_substring_pairs(spark, sf_dir):

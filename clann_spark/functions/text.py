@@ -24,9 +24,19 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+#: Explicit ASCII whitespace class shared by ALL THREE tokenizer engines.
+#: Java \s, RE2 \s and Python \s disagree outside plain ASCII (\x0B
+#: membership, Unicode spaces), so the parity contract names the exact
+#: characters: space, tab, LF, VT, FF, CR. Documents containing Unicode
+#: whitespace (U+00A0 etc.) are NOT split on it — identically in every
+#: engine. The doubled backslashes survive one SQL-string-literal
+#: unescape before reaching the Java regex engine.
+WS_SQL_CLASS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
+
+
 def words_sql(text_col: str) -> str:
     """Lowercased whitespace tokens, empties dropped."""
-    return f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+    return f"filter(split(lower({text_col}), '{WS_SQL_CLASS}'), w -> w != '')"
 
 
 def shingles_from_words_sql(words_expr: str, k: int) -> str:
@@ -70,7 +80,8 @@ def shingles_col(text_col: str, k: int) -> Column:
 # Python twins (must match the SQL builders byte-for-byte)
 # ---------------------------------------------------------------------------
 
-_WS = re.compile(r"\s+")
+# the same explicit ASCII class as WS_SQL_CLASS / oracles.duck_words
+_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def py_words(text: str) -> list[str]:

@@ -43,7 +43,7 @@ def bucket_census(bucket_df: DataFrame) -> DataFrame:
 def salted_buckets(
     bucket_df: DataFrame,
     cfg: DedupConfig,
-    broadcast_limit: int = 1_000_000,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Join census back, drop singleton buckets, salt mega-buckets.
 
@@ -59,6 +59,8 @@ def salted_buckets(
     rows it falls back to a parallel shuffle join (the 10^12-doc path,
     where the cnt>=2 census itself is sharded).
     """
+    if broadcast_limit is None:
+        broadcast_limit = cfg.broadcast_limit
     census = bucket_census(bucket_df).where(F.col("cnt") >= 2).persist()
     if census.count() <= broadcast_limit:
         census = F.broadcast(census)

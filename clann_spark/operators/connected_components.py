@@ -108,11 +108,15 @@ def connected_components(
         # order-insensitive set fingerprint: (count, sum of row hashes).
         # Equal sets -> equal fingerprints; unequal sets collide with
         # probability ~2^-64 — fine for convergence detection.
-        # hashes reduced mod 2^32 before summing: ANSI mode (Spark 4
-        # default) would raise on int64 overflow of a raw hash sum.
+        # hashes reduced mod 2^32, then summed as decimal(38,0): an int64
+        # sum would overflow (and raise under ANSI mode, the Spark 4
+        # default) beyond ~2^31 edges — exactly the scale this loop is
+        # the designated path for.
         row = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 32))).alias("h"),
+            F.sum(
+                F.pmod(F.xxhash64("u", "v"), F.lit(1 << 32)).cast("decimal(38,0)")
+            ).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 

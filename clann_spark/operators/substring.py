@@ -150,6 +150,7 @@ def substring_pairs(
     min_len: int = 256,
     window: int | None = None,
     w: int = 32,
+    broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """(doc_id, text) -> (a, b, lcs_len) pairs sharing an exact common
     substring of >= min_len chars.
@@ -157,30 +158,38 @@ def substring_pairs(
     window is derived so the winnowing guarantee covers min_len:
     window + w - 1 <= min_len. Candidates explode/groupBy exactly like
     LSH bands; verification joins text back for candidate docs only
-    (same semi-join shape as the MinHash verify)."""
+    (same semi-join shape as the MinHash verify). All small-side joins
+    are size-gated: broadcast under broadcast_limit rows, parallel
+    shuffle join above — boilerplate-heavy web corpora can make the
+    fingerprint census and the candidate list arbitrarily large."""
     window = window or (min_len - w + 1 if min_len - w + 1 > 0 else min_len)
     assert window + w - 1 <= min_len or min_len < w
 
+    def _gate(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(plain persisted df, size-gated join side)."""
+        df = df.persist()
+        return df, (F.broadcast(df) if df.count() <= broadcast_limit else df)
+
     fp = docs.select("doc_id", fingerprint_udf(window, w)(F.coalesce("text", F.lit(""))).alias("fps"))
     buckets = fp.select("doc_id", F.explode("fps").alias("fp"))
-    census = buckets.groupBy("fp").agg(F.count("*").alias("cnt")).where("cnt >= 2")
-    nb = buckets.join(F.broadcast(census), "fp")
+    _, census = _gate(buckets.groupBy("fp").agg(F.count("*").alias("cnt")).where("cnt >= 2"))
+    nb = buckets.join(census, "fp")
     left = nb.select(F.col("fp"), F.col("doc_id").alias("a"))
     right = nb.select(F.col("fp"), F.col("doc_id").alias("b"))
-    cands = (
+    cands, cands_gated = _gate(
         left.join(right, "fp").where("a < b").select("a", "b").dropDuplicates(["a", "b"])
     )
 
     texts = docs.select("doc_id", "text")
-    cand_ids = (
+    _, cand_ids = _gate(
         cands.select(F.col("a").alias("doc_id"))
         .union(cands.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    cand_texts = texts.join(F.broadcast(cand_ids), "doc_id")
+    cand_texts = texts.join(cand_ids, "doc_id")
 
     j = (
-        F.broadcast(cands)
+        cands_gated
         .join(cand_texts.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
         .join(cand_texts.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
     )

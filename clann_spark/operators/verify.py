@@ -85,16 +85,22 @@ def verify_pairs_from_text(
     appear in a candidate pair (semi-join reduction), so the corpus never
     carries the wide shingle column through shuffles.
 
-    docs: (doc_id, text). The candidate doc set is broadcast (candidates
-    are a vanishing fraction of the corpus — if they weren't, the
-    banding plan is wrong, not this join).
+    docs: (doc_id, text). Join strategy is size-gated: when the pair
+    list fits under cfg.broadcast_limit rows it is broadcast (map-side
+    joins, the common low-dup case); above the limit — a genuinely
+    duplicate-heavy corpus at 10^12 docs produces billions of candidate
+    pairs that no executor heap could hold — every join runs as a
+    parallel shuffle join. Both plans produce the identical pair set
+    (tests/test_dedup_recall.py forces the shuffle path with limit 0).
     """
+    pairs = pairs.persist()
+    small = pairs.count() <= cfg.broadcast_limit
     cand_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .union(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id")
+    cand_docs = docs.join(F.broadcast(cand_ids) if small else cand_ids, "doc_id")
 
     if cfg.signature_impl == "fast":
         from clann_spark.functions.hashing import fast_shingle_hashes_udf
@@ -122,7 +128,7 @@ def verify_pairs_from_text(
         )
 
     j = (
-        F.broadcast(pairs)
+        (F.broadcast(pairs) if small else pairs)
         .join(
             sh.select(F.col("doc_id").alias("a"), F.col("shingle_hashes").alias("sh_a")),
             "a",

@@ -30,7 +30,12 @@ def duck_h60(s_expr: str) -> str:
 
 
 def duck_words(text_col: str) -> str:
-    return f"list_filter(string_split_regex(lower({text_col}), '\\s+'), w -> w <> '')"
+    # explicit ASCII whitespace class — parity with text.WS_SQL_CLASS
+    # (RE2 \s and Java \s disagree on \x0B and Unicode spaces)
+    return (
+        f"list_filter(string_split_regex(lower({text_col}), "
+        f"'[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')"
+    )
 
 
 def duck_shingles(text_col: str, k: int) -> str:
