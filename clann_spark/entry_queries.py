@@ -549,7 +549,9 @@ def q_substring_pairs(spark, sf_dir):
 def q_gonzalez_partition_stats(spark, sf_dir):
     """Coarse Gonzalez partitioning of the embedding space (the clann
     build stage, gmm.rs:21-63): per-partition size/radius/routing.
-    Rows-only check (sample+argmin is not ANSI-SQL-expressible)."""
+    Sampled in vec_id order (sample ⊇ the whole table at gate scale)
+    so the DuckDB oracle reproduces the exact center choice with an
+    unrolled k-step greedy CTE chain."""
     from clann_spark.operators.clustering import (
         assign_partitions,
         cluster_stats,
@@ -557,28 +559,57 @@ def q_gonzalez_partition_stats(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8)
+    centers = fit_partitioner(
+        emb, "embedding", id_col="vec_id", k=8, sample_order="id"
+    )
     assigned = assign_partitions(emb, centers, "embedding")
-    return cluster_stats(assigned).orderBy("partition_id")
+    return cluster_stats(assigned).select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        "n_points",
+        F.round("radius", 6).alias("radius"),
+        "brute_force",
+    )
+
+
+def _o_gonzalez_partition_stats() -> str:
+    assign = (
+        "ad AS (SELECT p.vec_id, c.cid, "
+        f"{OQ.duck_cosdist('p.v', 'c.v')} AS d FROM pts p CROSS JOIN centers c), "
+        "amin AS (SELECT vec_id, cid, d, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM ad), "
+        "asg AS (SELECT vec_id, cid, d FROM amin WHERE rn = 1)"
+    )
+    return f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{OQ.duck_gonzalez_ctes(8)},
+{assign}
+SELECT cid::BIGINT AS partition_id, count(*) AS n_points,
+       round(max(d), 6) AS radius, (count(*) < 100) AS brute_force
+FROM asg GROUP BY cid
+"""
 
 
 def q_ann_ivf_top5(spark, sf_dir):
-    """IVF ANN top-5 (cluster-then-probe, nprobe=4 of 8). Rows-only;
-    recall vs the exact oracle is asserted in tests/test_knn.py."""
+    """IVF top-5 (cluster-then-probe, nprobe=2 of 8 + chord-bound
+    rescue + C4 brute-force routing). The rescue round makes the result
+    EXACT — equal to brute force — so the oracle is the exact top-5
+    SQL; pruning decides cost, never correctness (SURVEY §4: the
+    triangle-inequality early exit re-expressed statically)."""
     from clann_spark.operators.clustering import fit_partitioner
     from clann_spark.operators.knn import knn_ivf
 
     emb = _emb(spark, sf_dir)
     queries = emb.where("vec_id % 50 = 0")
     centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8)
-    return knn_ivf(queries, emb, centers, k=5, nprobe=4).select(
-        "query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank"
-    )
+    return knn_ivf(
+        queries, emb, centers, k=5, nprobe=2, brute_force_below=16
+    ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank")
 
 
 def q_lsh_query_top3(spark, sf_dir):
     """Incremental-dedup query mode (J2 probe path): every doc_id%100
-    doc queried against the corpus bucket table. Rows-only."""
+    doc queried against the corpus bucket table; the oracle replays the
+    band join + exact Jaccard + window top-3 in DuckDB."""
     from clann_spark.operators.knn import lsh_text_query
     from clann_spark.operators.signatures import compute_signatures
 
@@ -590,6 +621,45 @@ def q_lsh_query_top3(spark, sf_dir):
     return lsh_text_query(queries, sigs, docs, CFG, k=3).select(
         "query_id", "doc_id", F.round("jaccard", 6).alias("jaccard"), "rank"
     )
+
+
+def _o_lsh_query_top3() -> str:
+    sh = OQ.duck_shingle_hashes(OQ.duck_shingles("text", CFG.shingle_k))
+    return f"""
+WITH w AS (SELECT doc_id, {sh} AS hs FROM documents),
+s AS (SELECT doc_id, {OQ.duck_minhash('hs', CFG)} AS sig FROM w),
+b AS (SELECT doc_id, unnest({OQ.duck_bands('sig', CFG)}) AS band_hash FROM s),
+qw AS (SELECT doc_id + 1000000 AS query_id, doc_id AS src_id, {sh} AS hs
+       FROM documents WHERE doc_id % 100 = 0),
+qs AS (SELECT query_id, {OQ.duck_minhash('hs', CFG)} AS sig FROM qw),
+qb AS (SELECT query_id, unnest({OQ.duck_bands('sig', CFG)}) AS band_hash FROM qs),
+cand AS (SELECT DISTINCT q.query_id, c.doc_id
+         FROM qb q JOIN b c USING (band_hash) WHERE q.query_id <> c.doc_id),
+j AS (SELECT cand.query_id, cand.doc_id,
+        {OQ.duck_jaccard('qw.hs', 'w.hs')} AS jac
+      FROM cand
+      JOIN qw ON qw.query_id = cand.query_id
+      JOIN w ON w.doc_id = cand.doc_id),
+r AS (SELECT query_id, doc_id, jac, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY jac DESC, doc_id ASC) AS rank
+      FROM j)
+SELECT query_id, doc_id, round(jac, 6) AS jaccard, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+O_SUBSTRING_PAIRS_120 = """
+WITH g AS (SELECT doc_id, unnest(range(1, len(text) - 119 + 1)) AS i, text
+           FROM documents WHERE len(text) >= 120),
+g2 AS (SELECT doc_id, i, substr(text, i, 120) AS gram FROM g),
+m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.i AS ia, (b.i - a.i) AS diag
+      FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+runs AS (SELECT a, b, diag, ia,
+           ia - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY ia) AS grp
+         FROM m),
+rl AS (SELECT a, b, count(*) AS run FROM runs GROUP BY a, b, diag, grp)
+SELECT a, b, (max(run) + 119)::BIGINT AS lcs_len FROM rl GROUP BY a, b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -639,4 +709,9 @@ ORACLES: dict[str, str] = {
     "simhash_hamming_pairs": O_SIMHASH_HAMMING_PAIRS,
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS,
     "regex_token_stats": O_REGEX_TOKEN_STATS,
+    # the rescue round makes IVF exact, so the brute-force SQL IS its oracle
+    "ann_ivf_top5": O_KNN_COSINE_TOP5,
+    "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
+    "lsh_query_top3": _o_lsh_query_top3(),
+    "substring_pairs_120": O_SUBSTRING_PAIRS_120,
 }

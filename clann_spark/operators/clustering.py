@@ -89,13 +89,18 @@ def default_k(n: int, factor: float = 1.0) -> int:
 
 
 def sample_points(
-    df: DataFrame, vec_col: str, id_col: str, n_sample: int
+    df: DataFrame, vec_col: str, id_col: str, n_sample: int, order: str = "hash"
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic sample: the n_sample rows with smallest
-    xxhash64(id) — stable across partitioning, retries, cluster size."""
+    xxhash64(id) — stable across partitioning, retries, cluster size.
+
+    order='id' sorts by the raw id instead — less statistically spread,
+    but expressible in ANSI SQL, which lets the DuckDB oracle reproduce
+    the exact center choice (used by the gonzalez driver query)."""
+    key = F.col("_id") if order == "id" else F.xxhash64(F.col("_id"))
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_h", F.xxhash64("_id"))
+        .withColumn("_h", key)
         .orderBy("_h")
         .limit(n_sample)
         .collect()
@@ -112,9 +117,10 @@ def fit_partitioner(
     k: int | None = None,
     n_sample: int = 4096,
     metric: str = "cosine",
+    sample_order: str = "hash",
 ) -> np.ndarray:
     """Gonzalez on a deterministic sample -> (k, d) center matrix."""
-    ids, pts = sample_points(df, vec_col, id_col, n_sample)
+    ids, pts = sample_points(df, vec_col, id_col, n_sample, order=sample_order)
     if k is None:
         k = default_k(pts.shape[0])
     centers_idx, _, _, _ = gonzalez(pts, k, metric)

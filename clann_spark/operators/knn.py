@@ -16,6 +16,7 @@ thread-buffer merges (A1-A3).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -55,46 +56,186 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFr
     return _topk(scored, k)
 
 
+def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray):
+    """embedding -> array<int> of the nprobe nearest partition ids plus
+    every forced (brute-force-routed) partition. Vectorized per Arrow
+    batch — the distributed replacement for the round-1 driver-side
+    collect-and-loop (the reference's per-query cluster sort,
+    index.rs:592-616, now computed where the queries live)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from clann_spark.operators.clustering import pairwise_distance
+
+    c = centers.copy()
+    forced_list = [int(x) for x in forced]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        d = pairwise_distance(x, c, "cosine")
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        out = []
+        for row in order:
+            pids = [int(p) for p in row]
+            pids += [p for p in forced_list if p not in set(pids)]
+            out.append(pids)
+        return pd.Series(out)
+
+    return _probe
+
+
+def _rescue_udf(centers: np.ndarray, radii: np.ndarray, eps: float = 1e-9):
+    """(embedding, kth_cos, probed) -> array<int> of additional
+    partitions that could still hold a top-k neighbor: the J6
+    triangle-inequality test (src/core/index.rs:342-361) in CHORD
+    space, where it is a valid metric bound for unit vectors:
+    ||q-x|| >= ||q-c|| - r. 1-cos itself violates the triangle
+    inequality; chord = sqrt(2*(1-cos)) does not. kth_cos < -1 (no /
+    not enough round-1 results) rescues every unprobed partition."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from clann_spark.operators.clustering import pairwise_distance
+
+    c = centers.copy()
+    r_chord = np.sqrt(2.0 * np.maximum(radii, 0.0))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _rescue(vecs: pd.Series, kth: pd.Series, probed: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        d_chord = np.sqrt(2.0 * np.maximum(pairwise_distance(x, c, "cosine"), 0.0))
+        kth_arr = kth.to_numpy(dtype=np.float64)
+        kth_chord = np.sqrt(2.0 * np.maximum(1.0 - kth_arr, 0.0))
+        out = []
+        for i in range(len(x)):
+            need_all = kth_arr[i] < -1.0
+            lower = d_chord[i] - r_chord
+            seen = set(int(p) for p in probed.iloc[i])
+            out.append(
+                [
+                    int(p)
+                    for p in range(c.shape[0])
+                    if p not in seen
+                    and (need_all or lower[p] <= kth_chord[i] + eps)
+                ]
+            )
+        return pd.Series(out)
+
+    return _rescue
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
     centers: np.ndarray,
     k: int = 10,
     nprobe: int = 4,
+    rescue: bool = True,
+    brute_force_below: int = 100,
+    broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
-    """IVF ANN: corpus pre-partitioned by nearest Gonzalez center;
-    each query probes its nprobe nearest partitions only.
+    """IVF k-NN: corpus pre-partitioned by nearest Gonzalez center; each
+    query probes its nprobe nearest partitions, then a single RESCUE
+    round re-probes any partition whose chord-space lower bound beats
+    the round-1 kth distance — after which the result is EXACT (equal
+    to brute force), with pruning deciding cost, not correctness.
 
-    This is clann's cluster-then-probe re-expressed as partition
-    pruning: the per-query cluster ordering (index.rs:592-616) becomes
-    a broadcastable (query_id, partition_id) probe list, and the scan
-    is a partition-pruned join instead of a triangle-inequality loop —
-    statically provisioned recall instead of adaptive early exit
-    (SURVEY.md §4 optimizer table).
+    Reference lifecycle re-expressed (SURVEY.md §3.2):
+      * per-query cluster ordering (index.rs:592-616) -> _probe_udf,
+        computed distributedly (no driver collect of the query table);
+      * brute-force small-cluster routing (C4, index.rs:204-205 /
+        :364-378) -> partitions under brute_force_below points are
+        unconditionally probed by every query (cheap scans; exempt
+        from bound bookkeeping);
+      * triangle-inequality early exit (J6, index.rs:342-361) ->
+        _rescue_udf chord bound; batch Spark cannot exit adaptively,
+        so the bound instead *extends* the probe set exactly where the
+        exit condition would have kept searching. Two rounds replace
+        the sequential loop; queries with enough round-1 neighbors
+        rescue nothing.
+
+    rescue=False gives the round-1 approximate answer (the fixed-nprobe
+    recall/latency trade).
     """
+    spark = queries.sparkSession
     assigned = assign_partitions(corpus, centers, "embedding").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
         "partition_id",
+        "center_dist",
+    ).persist()
+    stats = (
+        assigned.groupBy("partition_id")
+        .agg(F.count("*").alias("n_points"), F.max("center_dist").alias("radius"))
+        .collect()
     )
-    q_rows = queries.select("vec_id", "embedding").collect()
-    probe = [
-        (int(r["vec_id"]), int(pid))
-        for r in q_rows
-        for pid in sort_clusters_for_query(
-            centers, np.array(list(r["embedding"]), dtype=np.float64)
-        )[:nprobe]
-    ]
-    spark = queries.sparkSession
-    probe_df = spark.createDataFrame(probe, "query_id long, partition_id int")
-    q = queries.selectExpr("vec_id AS query_id", "embedding AS va")
-    scored = (
-        assigned.join(F.broadcast(probe_df), "partition_id")
-        .join(F.broadcast(q), "query_id")
-        .where("query_id != neighbor_id")
-        .selectExpr("query_id", "neighbor_id", f"{COS_SQL} AS cos")
+    radii = np.zeros(centers.shape[0])
+    forced = []
+    for r in stats:
+        radii[r["partition_id"]] = r["radius"]
+        if r["n_points"] < brute_force_below:
+            forced.append(r["partition_id"])
+    assigned = assigned.drop("center_dist")
+
+    n_q = queries.count()
+    small_q = n_q * (nprobe + len(forced)) <= broadcast_limit
+
+    q = queries.selectExpr("vec_id AS query_id", "embedding AS va").persist()
+    probe1 = q.select(
+        "query_id",
+        "va",
+        _probe_udf(centers, nprobe, np.array(forced))(F.col("va")).alias("pids"),
+    ).persist()
+    probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
+
+    def _score(probe_x: DataFrame) -> DataFrame:
+        p = F.broadcast(probe_x) if small_q else probe_x
+        return (
+            assigned.join(p, "partition_id")
+            .join(F.broadcast(q) if small_q else q, "query_id")
+            .where("query_id != neighbor_id")
+            .selectExpr("query_id", "neighbor_id", f"{COS_SQL} AS cos")
+        )
+
+    scored1 = _score(probe1_x)
+    if not rescue:
+        return _topk(scored1, k)
+
+    scored1 = scored1.persist()
+    # round-1 kth similarity per query; queries with fewer than k
+    # results get kth = -2 (rescue everything unprobed)
+    kth = (
+        _topk(scored1, k)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("cnt"), F.min("cos").alias("kth0"))
+        .select(
+            "query_id",
+            F.when(F.col("cnt") >= k, F.col("kth0"))
+            .otherwise(F.lit(-2.0))
+            .alias("kth_cos"),
+        )
     )
-    return _topk(scored, k)
+    rescue_df = (
+        probe1.join(kth, "query_id", "left")
+        .select(
+            "query_id",
+            "va",
+            F.coalesce("kth_cos", F.lit(-2.0)).alias("kth_cos"),
+            "pids",
+        )
+        .select(
+            "query_id",
+            _rescue_udf(centers, radii)(
+                F.col("va"), F.col("kth_cos"), F.col("pids")
+            ).alias("extra"),
+        )
+        .select("query_id", F.explode("extra").alias("partition_id"))
+    )
+    scored2 = _score(rescue_df)
+    return _topk(scored1.unionByName(scored2), k)
 
 
 def lsh_text_query(

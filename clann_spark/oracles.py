@@ -100,3 +100,48 @@ def duck_jaccard(a_expr: str, b_expr: str) -> str:
         f"(len(list_intersect({a_expr}, {b_expr}))::DOUBLE / "
         f"len(list_distinct(list_concat({a_expr}, {b_expr}))))"
     )
+
+
+def duck_cosdist(x: str, y: str) -> str:
+    """Cosine distance 1 - x.y/(|x||y|) between two DOUBLE[] lists.
+
+    Same dot-then-divide shape as the Spark fold expression; outputs are
+    compared after round(, 6-9) so engine-level summation-order noise
+    (<=1e-12 on 64-dim unit-scale vectors) cannot surface."""
+    return (
+        f"(1 - list_sum(list_transform(range(1, len({x}) + 1), i -> {x}[i] * {y}[i])) / "
+        f"(sqrt(list_sum(list_transform({x}, v -> v * v))) * "
+        f"sqrt(list_sum(list_transform({y}, v -> v * v)))))"
+    )
+
+
+def duck_gonzalez_ctes(k: int) -> str:
+    """Unrolled greedy k-center (Gonzalez, gmm.rs:21-63 semantics) as a
+    CTE chain over a preceding CTE ``pts(vec_id, v DOUBLE[])``:
+
+      c0 = lowest vec_id (the Spark query samples in id order, so its
+           row 0 is the same point);
+      c_i = the point with max distance to its nearest chosen center,
+            ties to the lowest vec_id (np.argmax takes the first max);
+      centers(cid, v) = the k chosen centers in selection order.
+
+    Requires the clause to be appended after 'pts' inside WITH."""
+    parts = [
+        "c0 AS (SELECT v FROM pts ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT p.vec_id, p.v, {duck_cosdist('p.v', 'c.v')} AS d FROM pts p, c0 c)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v FROM d{i - 1} ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"d{i} AS (SELECT p.vec_id, p.v, least(p.d, {duck_cosdist('p.v', 'c.v')}) AS d "
+                f"FROM d{i - 1} p, c{i} c)"
+            )
+    union = " UNION ALL ".join(
+        ["SELECT 0 AS cid, v FROM c0"]
+        + [f"SELECT {i} AS cid, v FROM c{i}" for i in range(1, k)]
+    )
+    parts.append(f"centers AS ({union})")
+    return ", ".join(parts)

@@ -45,11 +45,32 @@ def test_bruteforce_matches_numpy(spark, emb_small):
     assert got == want
 
 
-def test_ivf_recall_vs_exact(spark, emb_small):
+def test_ivf_with_rescue_is_exact(spark, emb_small):
+    """The chord-bound rescue round (J6 triangle-inequality analog)
+    makes IVF equal to brute force — ranks and all — regardless of
+    nprobe or brute-force routing threshold."""
+    queries = emb_small.where("vec_id % 50 = 0")
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb_small, k=5).collect()
+    }
+    centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf(
+            queries, emb_small, centers, k=5, nprobe=2, brute_force_below=16
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_no_rescue_recall(spark, emb_small):
     queries = emb_small.where("vec_id % 50 = 0")
     exact = knn_bruteforce(queries, emb_small, k=5).collect()
     centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
-    approx = knn_ivf(queries, emb_small, centers, k=5, nprobe=4).collect()
+    approx = knn_ivf(
+        queries, emb_small, centers, k=5, nprobe=4, rescue=False
+    ).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
