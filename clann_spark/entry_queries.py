@@ -513,9 +513,11 @@ FROM d GROUP BY lang
 
 
 def q_media_pipeline_stats(spark, sf_dir):
-    """Multimodal plumbing smoke: synthesize a deterministic media
-    table, decode+featurize, resize, frame-sample; per-kind row stats.
-    Rows-only (binary payload ops are not SQL-expressible)."""
+    """Multimodal pipeline: synthesize a deterministic media table
+    (real PPM/WAV/Y4M payloads), decode + featurize, frame-sample;
+    per-kind row stats. The oracle recomputes payload sizes and frame
+    counts from the container-format arithmetic (header length + raw
+    plane sizes as pure functions of the row index)."""
     from clann_spark.operators.multimodal import (
         decode_and_featurize,
         sample_frames,
@@ -534,6 +536,32 @@ def q_media_pipeline_stats(spark, sf_dir):
     # stays inside the same job the driver/oracle gate executes
     n_frames = frames.groupBy().agg(F.count("*").cast("long").alias("n_video_frames"))
     return stats.crossJoin(n_frames)
+
+
+#: Sizes derived from the container formats themselves:
+#:   PPM  = len('P6\\n{w} {h}\\n255\\n') + 3wh
+#:   WAV  = 44-byte canonical header + 2 bytes x (dur_ms * 8000/1000)
+#:   Y4M  = header line + frames x ('FRAME\\n' + wh luma + 2*(w/2)(h/2) chroma)
+#: and the synthesize_media row recipe (kind/dims/duration cycle on i).
+O_MEDIA_PIPELINE_STATS = """
+WITH m AS (
+  SELECT i::BIGINT AS i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         32 + (i % 5) * 16 AS w, 24 + (i % 3) * 16 AS h,
+         CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i % 7) * 500 END AS dur
+  FROM range(120) t(i)),
+b AS (SELECT kind, w, h, dur,
+  CASE kind
+    WHEN 'image' THEN length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + 3 * w * h
+    WHEN 'audio' THEN 44 + 2 * (dur * 8)
+    ELSE length('YUV4MPEG2 W' || w || ' H' || h || ' F4:1 Ip A1:1 C420' || chr(10))
+         + greatest(dur * 4 // 1000, 1) * (6 + w * h + 2 * (w // 2) * (h // 2))
+  END AS n_bytes FROM m),
+vf AS (SELECT coalesce(sum(dur // 500), 0)::BIGINT AS n_video_frames FROM m WHERE kind = 'video')
+SELECT kind, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
+       (SELECT n_video_frames FROM vf) AS n_video_frames
+FROM b GROUP BY kind
+"""
 
 
 def q_substring_pairs(spark, sf_dir):
@@ -714,4 +742,5 @@ ORACLES: dict[str, str] = {
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,
+    "media_pipeline_stats": O_MEDIA_PIPELINE_STATS,
 }
