@@ -481,6 +481,26 @@ SELECT a, b, round(cos, 9) AS cos FROM p WHERE cos >= 0.4
 """
 
 
+def q_embedding_lsh_pairs(spark, sf_dir):
+    """Embedding-space near-dup pairs from banded random-hyperplane LSH
+    + exact cosine verification — the reference's vector SimHash
+    (simhash.hpp:41-45) as a distributed pair generator. Same result
+    contract as the exact crossJoin query (its oracle): the planner
+    provisions the banding so P(miss) <= 1e-5 at the design threshold,
+    and verification is exact, so the pair set equals brute force.
+    tau=0.4 is a correctness-gate setting (random 64-d vectors have no
+    high-cosine mass); production near-dup thresholds (>=0.9) get far
+    sharper plans from the same planner."""
+    from clann_spark.operators.embedding_lsh import embedding_lsh_pairs
+    from clann_spark.planner import plan_hyperplane_banding
+
+    emb = _emb(spark, sf_dir).where("vec_id % 5 = 0")
+    plan = plan_hyperplane_banding(0.4, target_recall=0.99999, max_bits=256)
+    return embedding_lsh_pairs(
+        emb, tau=0.4, bands=plan.bands, rows_per_band=plan.rows_per_band
+    ).selectExpr("a", "b", "round(cos, 9) AS cos")
+
+
 TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
 # Spark SQL string literals consume one backslash level; DuckDB doesn't
 TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")
@@ -711,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_similar_pairs": q_top_similar_pairs,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "regex_token_stats": q_regex_token_stats,
     "media_pipeline_stats": q_media_pipeline_stats,
     "substring_pairs_120": q_substring_pairs,
@@ -736,6 +757,9 @@ ORACLES: dict[str, str] = {
     "top_similar_pairs": O_TOP_SIMILAR_PAIRS,
     "simhash_hamming_pairs": O_SIMHASH_HAMMING_PAIRS,
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS,
+    # the LSH pair generator is planner-provisioned + exactly verified,
+    # so the brute-force pair SQL is its oracle too
+    "embedding_lsh_pairs": O_EMBEDDING_COSINE_PAIRS,
     "regex_token_stats": O_REGEX_TOKEN_STATS,
     # the rescue round makes IVF exact, so the brute-force SQL IS its oracle
     "ann_ivf_top5": O_KNN_COSINE_TOP5,

@@ -1,0 +1,119 @@
+"""Embedding-space near-duplicate pair generation via banded
+random-hyperplane LSH — the reference's core competency re-expressed
+for the embedding column.
+
+Reference parity: SimHash over VECTORS, i.e. the sign of the dot
+product with seeded Gaussian hyperplanes
+(libpuffinn/include/puffinn/hash/simhash.hpp:41-45, sampling :17-23),
+L independent concatenated tables (hash_source/independent.hpp:19-86),
+pair generation within equal-hash segments (collection.hpp:390-504).
+Here: one batched `(X @ R) >= 0` per Arrow batch, bit-packed into b
+band values of r bits; the bucket rows feed the SAME salted-census
+candidate machinery as MinHash bands, and survivors are exactly
+re-scored with the fold-summed cosine (the DuckDB-oracle-identical
+expression).
+
+Recall contract: plan-time, not adaptive — choose (b, r) with
+clann_spark.planner.plan_hyperplane_banding so
+1-(1-p^r)^b >= target_recall at the design threshold, where
+p = 1 - acos(tau)/pi (simhash.hpp:96-102). Skewed buckets (low-entropy
+band values — r-bit band spaces are small by construction) are salted
+by the shared candidate_pairs machinery; cross-band redundancy restores
+pair recall across salt groups exactly as for MinHash bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from clann_spark.config import DedupConfig
+
+#: fold-summed cosine between two float arrays va/vb, bit-identical to
+#: the DuckDB oracle's list_sum/list_transform formulation
+COS_SQL = (
+    "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), 0D,"
+    " (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(va, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))) * "
+    "sqrt(aggregate(vb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+)
+
+
+def hyperplane_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+    """embedding -> array<long> of b band values (r packed sign bits
+    each). The Gaussian plane matrix is drawn once from a seeded RNG on
+    the driver and shipped in the closure — every executor, retry and
+    cluster size sees identical planes (simhash.hpp:17-23 sampling,
+    made deterministic)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bands * rows_per_band))
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))[None, None, :]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
+        vals = (bits * weights).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return _bands
+
+
+def embedding_buckets(
+    emb: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding) -> exploded (doc_id, band_id, band_hash) bucket
+    rows, shaped exactly like signatures.explode_bands output so the
+    candidate machinery is shared."""
+    dim = len(emb.select(vec_col).first()[0])
+    udf = hyperplane_bands_udf(dim, bands, rows_per_band, seed)
+    return emb.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(vec_col)).alias("bands")
+    ).select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    tau: float,
+    bands: int,
+    rows_per_band: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """(id, embedding) -> (a, b, cos) pairs with exact cosine >= tau,
+    candidates from banded hyperplane LSH, exactly verified.
+
+    Same three-stage shape as the MinHash flagship: bucket rows ->
+    salted-census candidate pairs (shared candidates.candidate_pairs:
+    singleton-bucket drop, mega-bucket salting, size-gated census) ->
+    gated-broadcast join of the embedding column back for exact
+    re-scoring. At 10^12 rows every stage is shuffle-joined."""
+    from clann_spark.operators.candidates import candidate_pairs
+
+    cfg = cfg or DedupConfig()
+    buckets = embedding_buckets(emb, bands, rows_per_band, seed, id_col, vec_col)
+    cands = candidate_pairs(buckets, cfg, mode="clique").persist()
+    small = cands.count() <= cfg.broadcast_limit
+
+    e = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    j = (
+        (F.broadcast(cands) if small else cands)
+        .join(e.select(F.col("doc_id").alias("a"), F.col("v").alias("va")), "a")
+        .join(e.select(F.col("doc_id").alias("b"), F.col("v").alias("vb")), "b")
+    )
+    return (
+        j.selectExpr("a", "b", f"{COS_SQL} AS cos")
+        .where(F.col("cos") >= tau)
+    )

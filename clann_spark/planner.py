@@ -58,6 +58,55 @@ def hamming_threshold_for(cos_sim: float, target_recall: float, bits: int = 60) 
     return bits
 
 
+def hyperplane_candidate_probability(cos_sim: float, bands: int, rows_per_band: int) -> float:
+    """P[pair at cosine similarity s becomes a candidate] under banded
+    random-hyperplane hashing: per-bit agreement p = 1 - acos(s)/pi
+    (simhash.hpp:96-102), band match = p^r, candidate = 1-(1-p^r)^b."""
+    p = simhash_collision_probability(cos_sim)
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    return 1.0 - (1.0 - p**rows_per_band) ** bands
+
+
+def plan_hyperplane_banding(
+    tau: float,
+    target_recall: float = 0.99,
+    max_bits: int = 1024,
+    max_rows_per_band: int = 24,
+) -> BandingPlan:
+    """Choose (b, r) for hyperplane LSH over embeddings: the sharpest r
+    whose required band count still fits max_bits total hyperplanes —
+    the plan-time replacement for the reference's adaptive prefix
+    search, identical in spirit to plan_banding but on the angular
+    collision curve instead of the Jaccard one."""
+    p = simhash_collision_probability(tau)
+    best: BandingPlan | None = None
+    for r in range(max_rows_per_band, 0, -1):
+        miss = 1.0 - p**r
+        if miss >= 1.0:
+            continue
+        b = 1 if miss <= 0.0 else max(
+            1, math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+        )
+        if b * r > max_bits:
+            continue
+        best = BandingPlan(
+            bands=b,
+            rows_per_band=r,
+            recall_at_tau=hyperplane_candidate_probability(tau, b, r),
+            fp_rate_at_half_tau=hyperplane_candidate_probability(tau / 2.0, b, r),
+        )
+        break
+    if best is None:
+        raise ValueError(
+            f"no hyperplane (b, r) with b*r <= {max_bits} reaches recall "
+            f"{target_recall} at tau={tau}"
+        )
+    return best
+
+
 def lsh_threshold(bands: int, rows_per_band: int) -> float:
     """The similarity where the banding S-curve crosses ~0.5:
     (1/b)^(1/r) — the classic approximation."""

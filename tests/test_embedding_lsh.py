@@ -1,0 +1,85 @@
+"""Hyperplane LSH over embeddings: planner math, determinism, pair
+recall vs the exact crossJoin oracle at both a gate-style low threshold
+and a production-style high threshold with planted near-dups
+(reference recall-vs-bruteforce pattern, puffinn.rs:178-225)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clann_spark.operators.embedding_lsh import embedding_buckets, embedding_lsh_pairs
+from clann_spark.planner import (
+    hyperplane_candidate_probability,
+    plan_hyperplane_banding,
+)
+
+
+def test_planner_meets_recall_and_is_monotone():
+    for tau in (0.4, 0.7, 0.9):
+        plan = plan_hyperplane_banding(tau, target_recall=0.999, max_bits=1024)
+        assert plan.recall_at_tau >= 0.999
+        assert plan.num_perm <= 1024
+        # sharper threshold -> per-band agreement rises
+        assert hyperplane_candidate_probability(tau + 0.05, plan.bands, plan.rows_per_band) >= plan.recall_at_tau - 1e-12
+
+
+def _planted(spark, n=200, dim=32, n_dups=25, seed=7):
+    """Random unit-ish vectors + planted near-dups at cos ~0.95-0.99."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for j in range(n_dups):
+        noisy = base[j] + 0.15 * rng.standard_normal(dim)
+        rows.append((n + j, noisy.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _exact_pairs(df, tau):
+    rows = df.collect()
+    ids = [r["vec_id"] for r in rows]
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= tau:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_high_threshold_planted_dups_full_recall(spark):
+    emb = _planted(spark)
+    tau = 0.9
+    plan = plan_hyperplane_banding(tau, target_recall=0.9999, max_bits=1024)
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(
+            emb, tau, plan.bands, plan.rows_per_band
+        ).collect()
+    }
+    want = _exact_pairs(emb, tau)
+    assert len(want) >= 20  # the plant is real
+    missed = want - got
+    assert len(missed) <= max(1, int(0.01 * len(want))), missed  # >=0.99 recall
+    assert not (got - want)  # exact verification => precision 1.0
+
+
+def test_low_threshold_matches_fixture_oracle(spark, embeddings):
+    emb = embeddings.where("vec_id % 5 = 0")
+    plan = plan_hyperplane_banding(0.4, target_recall=0.99999, max_bits=256)
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(emb, 0.4, plan.bands, plan.rows_per_band).collect()
+    }
+    assert got == _exact_pairs(emb, 0.4)
+
+
+def test_bands_deterministic(spark, embeddings):
+    emb = embeddings.limit(40)
+    a = {(r["doc_id"], r["band_id"]): r["band_hash"]
+         for r in embedding_buckets(emb, 8, 4).collect()}
+    b = {(r["doc_id"], r["band_id"]): r["band_hash"]
+         for r in embedding_buckets(emb, 8, 4).collect()}
+    assert a == b and len(a) == 40 * 8
