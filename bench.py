@@ -71,8 +71,11 @@ def one_run(master: str, factor: int) -> float:
     from clann_spark.config import DedupConfig
     from clann_spark.session import get_spark
 
+    from clann_spark.planner import planned_prefilter
+
     spark = get_spark("bench-one", master=master)
     cfg = DedupConfig(signature_impl="fast")
+    cfg = cfg.with_(hamming_prefilter=planned_prefilter(cfg))
     docs = _scaled_docs(spark, factor).persist()
     docs.count()  # materialize the input so we time the pipeline, not gen
     _e2e(spark, docs.limit(500), cfg)  # JIT/codegen warmup
@@ -99,7 +102,12 @@ def main() -> None:
         fn()
         queries[name] = round(time.time() - t0, 3)
 
+    from clann_spark.planner import planned_prefilter
+
     cfg_fast = DedupConfig(signature_impl="fast")
+    # prod path: J7 sketch prefilter at the planner's recall-accounted
+    # threshold (the reference always filters, filterer.hpp:20-32)
+    cfg_fast = cfg_fast.with_(hamming_prefilter=planned_prefilter(cfg_fast))
     cfg_oracle = DedupConfig()  # md5 expr path (the correctness-gate config)
 
     from clann_spark.entry_queries import q_knn_cosine_top5

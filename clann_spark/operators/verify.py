@@ -75,6 +75,32 @@ def verify_pairs(
     return out
 
 
+def prefilter_pairs_by_simhash(
+    pairs: DataFrame, sig_df: DataFrame, threshold: int
+) -> DataFrame:
+    """J7 sketch filter (filterer.hpp:20-32, threshold :108-111): drop
+    candidate pairs whose 60-bit fingerprints differ in more than
+    `threshold` bits BEFORE the expensive exact verification.
+
+    The reference always filters; batch analog = a cheap bit_count
+    predicate on two slim int64 joins, a semi-join reduction that cuts
+    the verify stage's text re-derivation + set intersection to the
+    survivors. Pick `threshold` with planner.hamming_threshold_for so
+    the per-pair miss probability is accounted against the recall
+    budget (tests assert the flagship pair set is unchanged)."""
+    sh = sig_df.select("doc_id", "simhash")
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a")), "a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b")), "b"
+        )
+        .where(F.expr("bit_count(sim_a ^ sim_b)") <= threshold)
+        .select("a", "b")
+    )
+
+
 def verify_pairs_from_text(
     pairs: DataFrame,
     docs: DataFrame,

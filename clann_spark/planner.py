@@ -107,6 +107,19 @@ def plan_hyperplane_banding(
     return best
 
 
+def planned_prefilter(cfg: DedupConfig, target_recall: float = 0.9999) -> int:
+    """J7 sketch-filter threshold for a dedup config.
+
+    The 60-bit SimHash is over WORD sets while tau is shingle-set
+    Jaccard; for any two sets, cos >= J (|A∩B|/sqrt(|A||B|) >=
+    |A∩B|/|A∪B|), and high shingle overlap forces at least comparable
+    word overlap, so cos = tau is the conservative design point. The
+    returned threshold keeps P(drop | true pair) <= 1 - target_recall
+    under the independent-bit binomial model (the offline analog of
+    filterer.hpp:108-111)."""
+    return hamming_threshold_for(cfg.tau, target_recall)
+
+
 def lsh_threshold(bands: int, rows_per_band: int) -> float:
     """The similarity where the banding S-curve crosses ~0.5:
     (1/b)^(1/r) — the classic approximation."""

@@ -164,7 +164,16 @@ def run_dedup_checkpointed(
     )
     buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg))
     cands = runner.stage("candidates", lambda: candidate_pairs(buckets, cfg, mode=pair_mode))
-    verified = runner.stage("verified", lambda: verify_pairs_from_text(cands, base, cfg))
+
+    def _verified():
+        pairs = cands
+        if cfg.hamming_prefilter is not None:
+            from clann_spark.operators.verify import prefilter_pairs_by_simhash
+
+            pairs = prefilter_pairs_by_simhash(pairs, sigs, cfg.hamming_prefilter)
+        return verify_pairs_from_text(pairs, base, cfg)
+
+    verified = runner.stage("verified", _verified)
     clusters = runner.stage("clusters", lambda: connected_components(verified))
     assignments = runner.stage(
         "assignments",

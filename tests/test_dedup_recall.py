@@ -101,6 +101,23 @@ def test_summary_counts_consistent(spark, result):
     assert s["n_removed"] > 0  # the fixture plants duplicates
 
 
+def test_hamming_prefilter_keeps_pair_set(spark, fixture, result):
+    """J7 enabled at the planner threshold: the verify stage sees fewer
+    candidates but the verified pair set is UNCHANGED (the filter's
+    per-pair miss probability is accounted at 1e-4; on this fixture it
+    must drop nothing above tau)."""
+    from clann_spark.planner import planned_prefilter
+
+    cfg = CFG.with_(hamming_prefilter=planned_prefilter(CFG))
+    pages, _ = pages_to_spark(spark, fixture)
+    docs = prepare_pages(pages)
+    filtered = {
+        (r["a"], r["b"]) for r in run_dedup(docs, cfg).verified.collect()
+    }
+    unfiltered = {(r["a"], r["b"]) for r in result.verified.collect()}
+    assert filtered == unfiltered
+
+
 def test_determinism_two_runs(spark, fixture):
     """Reference determinism analog (collection_test.hpp:291-336
     round-trip): two full runs produce identical cluster assignments."""
