@@ -104,10 +104,19 @@ def main() -> None:
 
     from clann_spark.planner import planned_prefilter
 
-    cfg_fast = DedupConfig(signature_impl="fast")
+    # S7 config source: an optional JSON config file overrides the
+    # default prod config (reference: benches/configs.json)
+    cfg_file = os.environ.get("SPARK_GRAFT_CONFIG")
+    if cfg_file:
+        from clann_spark.config import load_configs_from_file
+
+        cfg_fast = load_configs_from_file(cfg_file)[0]
+    else:
+        cfg_fast = DedupConfig(signature_impl="fast")
     # prod path: J7 sketch prefilter at the planner's recall-accounted
     # threshold (the reference always filters, filterer.hpp:20-32)
-    cfg_fast = cfg_fast.with_(hamming_prefilter=planned_prefilter(cfg_fast))
+    if cfg_fast.hamming_prefilter is None:
+        cfg_fast = cfg_fast.with_(hamming_prefilter=planned_prefilter(cfg_fast))
     cfg_oracle = DedupConfig()  # md5 expr path (the correctness-gate config)
 
     from clann_spark.entry_queries import q_knn_cosine_top5

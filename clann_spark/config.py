@@ -10,6 +10,7 @@ that P(candidate | jaccard >= tau) >= target_recall.
 from __future__ import annotations
 
 import hashlib
+import json
 from dataclasses import dataclass, field, replace
 
 #: Mersenne prime 2^31 - 1. MinHash permutations operate mod this prime;
@@ -117,3 +118,13 @@ class DedupConfig:
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)
+
+
+def load_configs_from_file(path: str) -> list["DedupConfig"]:
+    """S7 benchmark-config source (benches/utils/mod.rs:8-14 analog):
+    a JSON file holding either a single config object or
+    {"configs": [{...}, ...]} of DedupConfig field overrides."""
+    with open(path) as f:
+        data = json.load(f)
+    items = data["configs"] if isinstance(data, dict) and "configs" in data else [data]
+    return [DedupConfig(**item) for item in items]

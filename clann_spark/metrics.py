@@ -1,0 +1,46 @@
+"""Run/Query/Cluster-granularity counters (reference parity:
+result_schema.sql build/search metrics tables, the per-query
+distance-computation counter performance.hpp:72-80 and its FFI
+surface puffinn.rs:133-141, metric appends src/utils/metrics/
+mod.rs:84-113, CSV sink src/utils/metrics/csv.rs:1-20).
+
+Spark rendering:
+  * DataFrame-side counts -> Observation rows attached to the plan
+    (collected when the stage's action runs — no extra jobs);
+  * Python-UDF-side work -> SparkContext accumulators incremented
+    inside the vectorized UDFs (the only places Python touches rows);
+  * persistence -> the StageRunner lineage JSON (counters per stage)
+    and an optional CSV sink.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CounterSet:
+    """Named Spark accumulators for UDF-side work counters.
+
+    acc('center_dist_computations') etc. Read with totals() on the
+    driver after actions complete — the A8 distance-computation counter
+    generalized to any hot-path UDF."""
+
+    spark: SparkSession
+    _accs: dict = field(default_factory=dict)
+
+    def acc(self, name: str):
+        if name not in self._accs:
+            self._accs[name] = self.spark.sparkContext.accumulator(0)
+        return self._accs[name]
+
+    def totals(self) -> dict[str, int]:
+        return {k: int(v.value) for k, v in self._accs.items()}
+
+
+def write_metrics_csv(metrics_df: DataFrame, path: str) -> None:
+    """S6 CSV metrics sink (csv.rs:1-20 analog): one small header-ed
+    CSV of the per-stage lineage/counter rows."""
+    metrics_df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

@@ -56,7 +56,7 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFr
     return _topk(scored, k)
 
 
-def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray):
+def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray, acc=None):
     """embedding -> array<int> of the nprobe nearest partition ids plus
     every forced (brute-force-routed) partition. Vectorized per Arrow
     batch — the distributed replacement for the round-1 driver-side
@@ -75,6 +75,8 @@ def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray):
             return pd.Series([], dtype=object)
         x = np.array([list(v) for v in vecs], dtype=np.float64)
         d = pairwise_distance(x, c, "cosine")
+        if acc is not None:  # A8 distance-computation counter
+            acc.add(int(x.shape[0] * c.shape[0]))
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         out = []
         for row in order:
@@ -86,7 +88,7 @@ def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray):
     return _probe
 
 
-def _rescue_udf(centers: np.ndarray, radii: np.ndarray, eps: float = 1e-9):
+def _rescue_udf(centers: np.ndarray, radii: np.ndarray, eps: float = 1e-9, acc=None):
     """(embedding, kth_cos, probed) -> array<int> of additional
     partitions that could still hold a top-k neighbor: the J6
     triangle-inequality test (src/core/index.rs:342-361) in CHORD
@@ -107,6 +109,8 @@ def _rescue_udf(centers: np.ndarray, radii: np.ndarray, eps: float = 1e-9):
             return pd.Series([], dtype=object)
         x = np.array([list(v) for v in vecs], dtype=np.float64)
         d_chord = np.sqrt(2.0 * np.maximum(pairwise_distance(x, c, "cosine"), 0.0))
+        if acc is not None:
+            acc.add(int(x.shape[0] * c.shape[0]))
         kth_arr = kth.to_numpy(dtype=np.float64)
         kth_chord = np.sqrt(2.0 * np.maximum(1.0 - kth_arr, 0.0))
         out = []
@@ -136,6 +140,7 @@ def knn_ivf(
     rescue: bool = True,
     brute_force_below: int = 100,
     broadcast_limit: int = 4_000_000,
+    counters=None,
 ) -> DataFrame:
     """IVF k-NN: corpus pre-partitioned by nearest Gonzalez center; each
     query probes its nprobe nearest partitions, then a single RESCUE
@@ -159,6 +164,12 @@ def knn_ivf(
 
     rescue=False gives the round-1 approximate answer (the fixed-nprobe
     recall/latency trade).
+
+    counters: optional clann_spark.metrics.CounterSet — the probe and
+    rescue UDFs add their center-distance computations to the
+    'center_dist_computations' accumulator (A8, the per-query
+    distance-computation counter of performance.hpp:72-80 summed at
+    run granularity).
     """
     spark = queries.sparkSession
     assigned = assign_partitions(corpus, centers, "embedding").select(
@@ -183,11 +194,12 @@ def knn_ivf(
     n_q = queries.count()
     small_q = n_q * (nprobe + len(forced)) <= broadcast_limit
 
+    acc = counters.acc("center_dist_computations") if counters is not None else None
     q = queries.selectExpr("vec_id AS query_id", "embedding AS va").persist()
     probe1 = q.select(
         "query_id",
         "va",
-        _probe_udf(centers, nprobe, np.array(forced))(F.col("va")).alias("pids"),
+        _probe_udf(centers, nprobe, np.array(forced), acc)(F.col("va")).alias("pids"),
     ).persist()
     probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
 
@@ -228,7 +240,7 @@ def knn_ivf(
         )
         .select(
             "query_id",
-            _rescue_udf(centers, radii)(
+            _rescue_udf(centers, radii, acc=acc)(
                 F.col("va"), F.col("kth_cos"), F.col("pids")
             ).alias("extra"),
         )

@@ -106,6 +106,7 @@ def verify_pairs_from_text(
     docs: DataFrame,
     cfg: DedupConfig,
     keep_below_tau: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Scale-path verification: re-derive shingle sets ONLY for docs that
     appear in a candidate pair (semi-join reduction), so the corpus never
@@ -165,6 +166,17 @@ def verify_pairs_from_text(
         )
     )
     out = j.select("a", "b", F.expr(JACCARD_SQL).alias("jaccard"))
+    if observation is not None:
+        # A8 distance-computation counter (performance.hpp:72-80 analog):
+        # exact similarity evaluations, counted by the plan's own action —
+        # attached BEFORE the tau filter so false candidates are included
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("comparisons"),
+            F.coalesce(
+                F.sum((F.col("jaccard") >= cfg.tau).cast("long")), F.lit(0)
+            ).alias("pairs_verified"),
+        )
     if not keep_below_tau:
         out = out.where(F.col("jaccard") >= cfg.tau)
     return out

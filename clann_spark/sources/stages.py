@@ -88,7 +88,15 @@ class StageRunner:
 
     # -- public API ----------------------------------------------------------
 
-    def stage(self, name: str, builder: Callable[[], DataFrame]) -> DataFrame:
+    def stage(
+        self,
+        name: str,
+        builder: Callable[[], DataFrame],
+        extra_counters: Callable[[], dict] | None = None,
+    ) -> DataFrame:
+        """extra_counters: called after the write action completes —
+        the hook for Observation.get / accumulator totals collected by
+        the stage's own job (A7/A8 counters at stage granularity)."""
         if self._committed(name):
             self.skipped.append(name)
             return self.spark.read.parquet(self._stage_dir(name))
@@ -99,6 +107,9 @@ class StageRunner:
         wall_ms = int((time.time() - t0) * 1000)
 
         files = self._per_file_rows(name)
+        counters = {}
+        if extra_counters is not None:
+            counters = {k: int(v) for k, v in extra_counters().items()}
         lineage = {
             "run_id": self.run_id,
             "stage": name,
@@ -107,6 +118,7 @@ class StageRunner:
             "n_files": len(files),
             "wall_ms": wall_ms,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "counters": counters,
             "partitions": files,
         }
         tmp = self._lineage_path(name) + ".tmp"
@@ -118,7 +130,8 @@ class StageRunner:
 
     def metrics(self) -> DataFrame:
         """All committed lineage rows as a DataFrame (the reference's
-        build_metrics/search_metrics analog)."""
+        build_metrics/search_metrics analog), with per-stage counters
+        (candidates generated, comparisons, ...) as a map column."""
         rows = []
         ldir = os.path.join(self.workdir, "_lineage")
         for fn in sorted(os.listdir(ldir)):
@@ -129,10 +142,13 @@ class StageRunner:
                     (
                         li["run_id"], li["stage"], li["rows"], li["n_files"],
                         li["wall_ms"], li["committed_at"],
+                        {k: int(v) for k, v in li.get("counters", {}).items()},
                     )
                 )
         return self.spark.createDataFrame(
-            rows, "run_id string, stage string, rows long, n_files long, wall_ms long, committed_at string"
+            rows,
+            "run_id string, stage string, rows long, n_files long, "
+            "wall_ms long, committed_at string, counters map<string,long>",
         )
 
 
@@ -165,15 +181,22 @@ def run_dedup_checkpointed(
     buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg))
     cands = runner.stage("candidates", lambda: candidate_pairs(buckets, cfg, mode=pair_mode))
 
+    from pyspark.sql import Observation
+
+    verify_obs = Observation()
+
     def _verified():
         pairs = cands
         if cfg.hamming_prefilter is not None:
             from clann_spark.operators.verify import prefilter_pairs_by_simhash
 
             pairs = prefilter_pairs_by_simhash(pairs, sigs, cfg.hamming_prefilter)
-        return verify_pairs_from_text(pairs, base, cfg)
+        return verify_pairs_from_text(pairs, base, cfg, observation=verify_obs)
 
-    verified = runner.stage("verified", _verified)
+    # A7/A8: comparisons + above-tau pairs observed by the stage's own
+    # write action land in the lineage counters (result_schema.sql
+    # search_metrics granularity)
+    verified = runner.stage("verified", _verified, extra_counters=lambda: verify_obs.get)
     clusters = runner.stage("clusters", lambda: connected_components(verified))
     assignments = runner.stage(
         "assignments",

@@ -76,6 +76,70 @@ def test_lineage_records_per_partition_rows(spark, docs, tmp_path_factory):
     assert all(row["wall_ms"] >= 0 for row in m.values())
 
 
+def test_metrics_counters_recorded(spark, docs, tmp_path_factory):
+    """A7/A8: the verify stage's Observation counters (exact similarity
+    comparisons + above-tau pairs) land in lineage and in metrics()."""
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    r = run_dedup_checkpointed(spark, docs, CFG, wd)
+    m = {row["stage"]: row for row in r["metrics"].collect()}
+    c = m["verified"]["counters"]
+    n_cands = m["candidates"]["rows"]
+    n_verified = m["verified"]["rows"]
+    assert c["comparisons"] == n_cands > 0   # no prefilter in CFG
+    assert c["pairs_verified"] == n_verified > 0
+    assert m["signatures"]["counters"] == {}
+
+
+def test_metrics_csv_sink(spark, docs, tmp_path_factory):
+    """S6: the metrics table round-trips through the CSV sink."""
+    import glob
+
+    from clann_spark.metrics import write_metrics_csv
+
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    r = run_dedup_checkpointed(spark, docs, CFG, wd)
+    out = os.path.join(wd, "metrics_csv")
+    write_metrics_csv(r["metrics"].drop("counters"), out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == r["metrics"].count()
+    assert "stage" in back.columns and "wall_ms" in back.columns
+
+
+def test_knn_distance_counter(spark, embeddings):
+    """A8 accumulator: probe/rescue UDFs count center-distance
+    computations."""
+    from clann_spark.metrics import CounterSet
+    from clann_spark.operators.clustering import fit_partitioner
+    from clann_spark.operators.knn import knn_ivf
+
+    emb = embeddings.cache()
+    queries = emb.where("vec_id % 50 = 0")
+    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8)
+    counters = CounterSet(spark)
+    knn_ivf(queries, emb, centers, k=5, nprobe=2, counters=counters).collect()
+    n_q = queries.count()
+    # probe pass computes n_q x 8 distances; the rescue pass adds more
+    assert counters.totals()["center_dist_computations"] >= n_q * 8
+
+
+def test_config_file_source(tmp_path_factory):
+    """S7: JSON config file -> DedupConfig list."""
+    from clann_spark.config import load_configs_from_file
+
+    d = tmp_path_factory.mktemp("cfg")
+    p = os.path.join(str(d), "configs.json")
+    with open(p, "w") as f:
+        json.dump(
+            {"configs": [{"tau": 0.7, "signature_impl": "fast"},
+                         {"bands": 16, "rows_per_band": 8}]}, f
+        )
+    cfgs = load_configs_from_file(p)
+    assert cfgs[0].tau == 0.7 and cfgs[0].signature_impl == "fast"
+    assert cfgs[1].bands == 16 and cfgs[1].num_perm == 128
+
+
 def test_torn_commit_is_rebuilt(spark, docs, tmp_path_factory):
     """A stage dir without its lineage row (crash between write and
     commit) must be rebuilt, not trusted."""
