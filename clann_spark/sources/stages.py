@@ -34,22 +34,42 @@ def _config_fingerprint(cfg: DedupConfig) -> str:
 
 
 class StageRunner:
-    """Executes named stages exactly once per (workdir, config).
+    """Executes named stages exactly once per (workdir, config, input,
+    upstream lineage).
 
-    stage(name, builder): if the stage directory holds a committed
-    _SUCCESS marker AND a lineage row with a matching config
-    fingerprint, the stage is SKIPPED and read back from parquet;
-    otherwise builder() runs, the result is written, and lineage +
-    metrics are recorded. Per-partition lineage = one row per output
-    file with its row count (from the parquet footers).
+    stage(name, builder, deps=[...]): if the stage directory holds a
+    committed _SUCCESS marker AND a lineage row whose fingerprint
+    matches md5(config ‖ input identity ‖ each dep's lineage hash),
+    the stage is SKIPPED and read back from parquet; otherwise
+    builder() runs, the result is written, and lineage + metrics are
+    recorded. Because each stage's fingerprint folds in its upstream
+    lineage hashes, rebuilding any upstream stage cascades
+    invalidation downstream; a byte-stable rebuild (same fingerprint,
+    rows and file layout) does NOT cascade. Per-partition lineage =
+    one row per output file with its row count (parquet footers).
+
+    input_fingerprint identifies the input data. Callers should pass a
+    stable content identity (source path / snapshot id); the
+    checkpointed pipeline defaults to the input DataFrame's
+    semanticHash — plan identity, computed without a job — which
+    distinguishes different sources/transformations but not in-place
+    file mutation under the same path.
     """
 
-    def __init__(self, spark: SparkSession, workdir: str, cfg: DedupConfig, run_id: str = "run"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: DedupConfig,
+        run_id: str = "run",
+        input_fingerprint: str = "",
+    ):
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg
         self.run_id = run_id
         self.fingerprint = _config_fingerprint(cfg)
+        self.input_fingerprint = str(input_fingerprint)
         self.executed: list[str] = []   # stages actually built this run
         self.skipped: list[str] = []    # stages resumed from checkpoint
         os.makedirs(os.path.join(workdir, "_lineage"), exist_ok=True)
@@ -62,17 +82,44 @@ class StageRunner:
     def _lineage_path(self, name: str) -> str:
         return os.path.join(self.workdir, "_lineage", f"{name}.json")
 
-    def _committed(self, name: str) -> bool:
-        d = self._stage_dir(name)
+    def _lineage(self, name: str) -> dict | None:
         lp = self._lineage_path(name)
-        if not (os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(lp)):
-            return False
+        if not os.path.exists(lp):
+            return None
         try:
             with open(lp) as f:
-                lineage = json.load(f)
+                return json.load(f)
         except (OSError, json.JSONDecodeError):
+            return None
+
+    def _stage_fingerprint(self, name: str, deps: list[str]) -> str | None:
+        """config ‖ input ‖ upstream lineage hashes. None if any dep is
+        uncommitted (then this stage cannot be trusted either)."""
+        parts = [self.fingerprint, self.input_fingerprint]
+        for dep in deps:
+            li = self._lineage(dep)
+            if li is None or "lineage_hash" not in li:
+                return None
+            parts.append(li["lineage_hash"])
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+    @staticmethod
+    def _lineage_hash(stage_fp: str, files: list[dict]) -> str:
+        """Content-stable output identity: a deterministic rebuild with
+        the same fingerprint, row counts and file layout hashes equal,
+        so it does not cascade downstream invalidation."""
+        key = json.dumps(
+            {"fp": stage_fp, "files": [(f["file"], f["rows"], f["bytes"]) for f in files]},
+            sort_keys=True,
+        )
+        return hashlib.md5(key.encode()).hexdigest()
+
+    def _committed(self, name: str, stage_fp: str | None) -> bool:
+        d = self._stage_dir(name)
+        if stage_fp is None or not os.path.exists(os.path.join(d, "_SUCCESS")):
             return False
-        return lineage.get("config_fingerprint") == self.fingerprint
+        lineage = self._lineage(name)
+        return lineage is not None and lineage.get("config_fingerprint") == stage_fp
 
     def _per_file_rows(self, name: str) -> list[dict]:
         """Per-partition lineage: one entry per committed parquet file."""
@@ -93,11 +140,16 @@ class StageRunner:
         name: str,
         builder: Callable[[], DataFrame],
         extra_counters: Callable[[], dict] | None = None,
+        deps: list[str] | None = None,
     ) -> DataFrame:
         """extra_counters: called after the write action completes —
         the hook for Observation.get / accumulator totals collected by
-        the stage's own job (A7/A8 counters at stage granularity)."""
-        if self._committed(name):
+        the stage's own job (A7/A8 counters at stage granularity).
+        deps: upstream stage names folded into this stage's fingerprint
+        so upstream rebuilds cascade invalidation."""
+        deps = deps or []
+        stage_fp = self._stage_fingerprint(name, deps)
+        if self._committed(name, stage_fp):
             self.skipped.append(name)
             return self.spark.read.parquet(self._stage_dir(name))
 
@@ -110,10 +162,14 @@ class StageRunner:
         counters = {}
         if extra_counters is not None:
             counters = {k: int(v) for k, v in extra_counters().items()}
+        # deps committed before this stage ran, so the fingerprint is
+        # now computable even if it wasn't on entry (torn upstream)
+        stage_fp = self._stage_fingerprint(name, deps)
         lineage = {
             "run_id": self.run_id,
             "stage": name,
-            "config_fingerprint": self.fingerprint,
+            "config_fingerprint": stage_fp,
+            "lineage_hash": self._lineage_hash(stage_fp, files),
             "rows": sum(f["rows"] for f in files),
             "n_files": len(files),
             "wall_ms": wall_ms,
@@ -158,12 +214,19 @@ def run_dedup_checkpointed(
     cfg: DedupConfig,
     workdir: str,
     pair_mode: str = "auto",
+    input_id: str | None = None,
 ) -> dict:
     """The full dedup pipeline as resumable committed stages.
 
     Stage graph: signatures -> buckets -> candidates -> verified ->
-    clusters -> assignments. Killing the job between any two stages and
-    re-running skips every committed stage (tests/test_resume.py).
+    clusters -> assignments, each fingerprinting its upstream lineage
+    so a rebuilt stage cascades. Killing the job between any two stages
+    and re-running skips every committed stage (tests/test_resume.py).
+
+    input_id: stable identity of the input data (source path, snapshot
+    id). Defaults to the docs plan's semanticHash — distinguishes
+    different sources without running a job, but not in-place file
+    mutation under the same path.
     """
     from pyspark.sql import functions as F
 
@@ -172,14 +235,19 @@ def run_dedup_checkpointed(
     from clann_spark.operators.signatures import compute_signatures, explode_bands
     from clann_spark.operators.verify import verify_pairs_from_text
 
-    runner = StageRunner(spark, workdir, cfg)
     base = docs.select("doc_id", "text")
+    if input_id is None:
+        input_id = f"semhash:{base.semanticHash()}"
+    runner = StageRunner(spark, workdir, cfg, input_fingerprint=input_id)
 
     sigs = runner.stage(
-        "signatures", lambda: compute_signatures(base, cfg, include_shingles=False).drop("text")
+        "signatures",
+        lambda: compute_signatures(base, cfg, include_shingles=False).drop("text"),
     )
-    buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg))
-    cands = runner.stage("candidates", lambda: candidate_pairs(buckets, cfg, mode=pair_mode))
+    buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg), deps=["signatures"])
+    cands = runner.stage(
+        "candidates", lambda: candidate_pairs(buckets, cfg, mode=pair_mode), deps=["buckets"]
+    )
 
     from pyspark.sql import Observation
 
@@ -196,13 +264,21 @@ def run_dedup_checkpointed(
     # A7/A8: comparisons + above-tau pairs observed by the stage's own
     # write action land in the lineage counters (result_schema.sql
     # search_metrics granularity)
-    verified = runner.stage("verified", _verified, extra_counters=lambda: verify_obs.get)
-    clusters = runner.stage("clusters", lambda: connected_components(verified))
+    verified = runner.stage(
+        "verified",
+        _verified,
+        extra_counters=lambda: verify_obs.get,
+        deps=["candidates", "signatures"],
+    )
+    clusters = runner.stage(
+        "clusters", lambda: connected_components(verified), deps=["verified"]
+    )
     assignments = runner.stage(
         "assignments",
         lambda: base.select("doc_id")
         .join(clusters, "doc_id", "left")
         .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")),
+        deps=["clusters"],
     )
     return {
         "runner": runner,

@@ -40,14 +40,19 @@ def test_full_run_then_resume_skips_everything(spark, docs, tmp_path_factory):
 def test_crash_mid_pipeline_resumes_from_checkpoint(spark, docs, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("ckpt"))
 
-    # simulate a crash: run only the first two stages, then "die"
+    # simulate a crash: run only the first two stages, then "die".
+    # The runner must be parameterized exactly like the pipeline's
+    # (same input identity), or resume correctly refuses to trust it.
     from clann_spark.operators.signatures import compute_signatures, explode_bands
 
-    runner = StageRunner(spark, wd, CFG)
-    sigs = runner.stage(
-        "signatures", lambda: compute_signatures(docs, CFG, include_shingles=False).drop("text")
+    base = docs.select("doc_id", "text")
+    runner = StageRunner(
+        spark, wd, CFG, input_fingerprint=f"semhash:{base.semanticHash()}"
     )
-    runner.stage("buckets", lambda: explode_bands(sigs, CFG))
+    sigs = runner.stage(
+        "signatures", lambda: compute_signatures(base, CFG, include_shingles=False).drop("text")
+    )
+    runner.stage("buckets", lambda: explode_bands(sigs, CFG), deps=["signatures"])
     # (process exits here)
 
     r = run_dedup_checkpointed(spark, docs, CFG, wd)
@@ -138,6 +143,36 @@ def test_config_file_source(tmp_path_factory):
     cfgs = load_configs_from_file(p)
     assert cfgs[0].tau == 0.7 and cfgs[0].signature_impl == "fast"
     assert cfgs[1].bands == 16 and cfgs[1].num_perm == 128
+
+
+def test_different_input_invalidates_checkpoint(spark, docs, tmp_path_factory):
+    """Same workdir + same config but a DIFFERENT input table must not
+    resume from the previous corpus's committed stages."""
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    run_dedup_checkpointed(spark, docs, CFG, wd)
+    other_pages, _ = pages_to_spark(spark, make_pages(n_base=80, seed=99))
+    other = prepare_pages(other_pages).select("doc_id", "text")
+    r2 = run_dedup_checkpointed(spark, other, CFG, wd)
+    assert "signatures" in r2["runner"].executed
+    assert r2["assignments"].count() == other.count()
+
+
+def test_upstream_rebuild_cascades_downstream(spark, docs, tmp_path_factory):
+    """If an upstream stage's lineage hash changes (a rebuild that
+    produced different output), every downstream stage is invalidated."""
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    run_dedup_checkpointed(spark, docs, CFG, wd)
+    lp = os.path.join(wd, "_lineage", "candidates.json")
+    with open(lp) as f:
+        li = json.load(f)
+    li["lineage_hash"] = "0" * 32  # simulate a divergent upstream rebuild
+    with open(lp, "w") as f:
+        json.dump(li, f)
+    r = run_dedup_checkpointed(spark, docs, CFG, wd)
+    assert "signatures" in r["runner"].skipped
+    assert "candidates" in r["runner"].skipped  # its own fingerprint still matches
+    for downstream in ("verified", "clusters", "assignments"):
+        assert downstream in r["runner"].executed, downstream
 
 
 def test_torn_commit_is_rebuilt(spark, docs, tmp_path_factory):
