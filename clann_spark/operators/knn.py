@@ -256,6 +256,7 @@ def lsh_text_query(
     corpus_docs: DataFrame,
     cfg: DedupConfig,
     k: int = 10,
+    query_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup query mode (J2): hash the query docs with the
     SAME seeded signature config, join their band hashes against the
@@ -268,7 +269,11 @@ def lsh_text_query(
     from clann_spark.operators.signatures import compute_signatures, explode_bands
     from clann_spark.operators.verify import verify_pairs_from_text
 
-    q_sigs = compute_signatures(queries, cfg, include_shingles=False)
+    q_sigs = (
+        query_sigs
+        if query_sigs is not None
+        else compute_signatures(queries, cfg, include_shingles=False)
+    )
     q_buckets = explode_bands(q_sigs, cfg).withColumnRenamed("doc_id", "query_id")
     c_buckets = explode_bands(corpus_sigs, cfg)
 

@@ -67,3 +67,35 @@ def test_stream_matches_and_checkpoint(spark, corpus, tmp_path_factory):
     out3 = spark.read.parquet(out_dir)
     got3 = {(r["query_id"], r["doc_id"]) for r in out3.where("rank = 1").collect()}
     assert (1013, 13) in got3
+
+
+def test_accepted_docs_enter_corpus_state(spark, corpus, tmp_path_factory):
+    """State update: a batch-1 doc accepted into the corpus must be
+    found as the match of its batch-2 duplicate."""
+    docs, sigs = corpus
+    base = str(tmp_path_factory.mktemp("stream_state"))
+    in_dir, out_dir, ckpt, state = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/state"
+    )
+    os.makedirs(in_dir)
+
+    novel = "a genuinely fresh document about orthogonal topics " * 6
+    _write_batch(spark, in_dir, [(5001, novel)])
+    q = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt, state_dir=state)
+    q.awaitTermination(120)
+
+    # 5001 had no match -> accepted into state
+    st = spark.read.parquet(state)
+    assert {r["doc_id"] for r in st.collect()} == {5001}
+
+    # batch 2: a near-clone of 5001 -> detected against STATE, and the
+    # clone itself is NOT accepted
+    _write_batch(spark, in_dir, [(5002, novel + "tail")])
+    q2 = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt, state_dir=state)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    top = {(r["query_id"], r["doc_id"]) for r in out.where("rank = 1").collect()}
+    assert (5002, 5001) in top
+    st2 = spark.read.parquet(state)
+    assert {r["doc_id"] for r in st2.collect()} == {5001}
