@@ -60,11 +60,20 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+#: cross-query reuse: four driver queries consume the verified pair
+#: set; one signatures->candidates->verify pass per (session, sf_dir)
+#: instead of four (the gate's analog of staging the table once)
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _verified_pairs_df(spark, sf_dir) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = compute_signatures(docs, CFG).drop("text").persist()
-    cands = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
-    return verify_pairs(cands, sigs, CFG)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        sigs = compute_signatures(docs, CFG).drop("text").persist()
+        cands = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
+        _PAIRS_CACHE[key] = verify_pairs(cands, sigs, CFG).persist()
+    return _PAIRS_CACHE[key]
 
 
 def q_minhash_dedup_pairs(spark, sf_dir):

@@ -183,15 +183,92 @@ def _splitmix_step(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+_FOLD_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fold_shingle_stream(texts, k: int, hash_key: str):
+    """Shared core of the fast path: tokenize once, hash WORDS once
+    (pandas' C siphash — never materializing k-gram strings), then form
+    shingle hashes as a k-lane splitmix fold over consecutive word
+    hashes (vectorized sliding slices). Word-window streams from all
+    docs are folded in ONE pass; per-doc validity and in-doc dedup are
+    mask/sort operations. This halves the Python-side work AND the
+    memory traffic of the old build-every-shingle-string loop — the
+    stage the N->4N scaling measurement showed to be bandwidth-bound.
+
+    Returns (uniq_shingle_hashes uint64, shingle_offsets,
+             uniq_word_hashes uint64, word_offsets) — all per-doc
+    contiguous segments, deduped within doc.
+
+    Short docs (0 < words < k) get one variable-length fold (the
+    'all their words' single shingle of the SQL path); empty docs get
+    the bare fold seed (all empty docs collide — they ARE identical).
+    """
+    from clann_spark.functions.text import py_words
+
+    all_words, w_off = [], [0]
+    for t in texts:
+        all_words.extend(py_words(t or ""))
+        w_off.append(len(all_words))
+    offsets = np.array(w_off, dtype=np.int64)
+    H = (
+        pd.util.hash_array(np.asarray(all_words, dtype=object), hash_key=hash_key)
+        if all_words
+        else np.empty(0, dtype=np.uint64)
+    )
+    n_docs = len(texts)
+    N = H.size
+    m = offsets[1:] - offsets[:-1]
+    ends = offsets[1:]
+
+    if N >= k:
+        acc = np.full(N - k + 1, _FOLD_SEED, dtype=np.uint64)
+        for j in range(k):
+            acc = _splitmix_step(acc ^ H[j : j + N - k + 1])
+        pos = np.arange(acc.size, dtype=np.int64)
+        doc_of = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + k <= ends[doc_of]
+        win_doc = doc_of[valid]
+        win_hash = acc[valid]
+    else:
+        win_doc = np.empty(0, dtype=np.int64)
+        win_hash = np.empty(0, dtype=np.uint64)
+
+    extras_d, extras_h = [], []
+    for d in np.where(m < k)[0]:
+        accv = np.full(1, _FOLD_SEED, dtype=np.uint64)
+        for p in range(offsets[d], ends[d]):
+            accv = _splitmix_step(accv ^ H[p : p + 1])
+        extras_d.append(int(d))
+        extras_h.append(accv[0])
+    if extras_d:
+        win_doc = np.concatenate([win_doc, np.array(extras_d, dtype=np.int64)])
+        win_hash = np.concatenate([win_hash, np.array(extras_h, dtype=np.uint64)])
+
+    def _uniq_per_doc(doc_idx, values):
+        order = np.lexsort((values, doc_idx))
+        d, v = doc_idx[order], values[order]
+        keep = np.ones(d.size, dtype=bool)
+        if d.size:
+            keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        d, v = d[keep], v[keep]
+        return v, np.searchsorted(d, np.arange(n_docs + 1))
+
+    sh_hash, sh_off = _uniq_per_doc(win_doc, win_hash)
+    word_doc = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    w_hash, w_uoff = _uniq_per_doc(word_doc, H)
+    return sh_hash, sh_off, w_hash, w_uoff
+
+
 def fast_shingle_hashes_udf(cfg: DedupConfig):
     """text -> array<long> distinct 31-bit shingle hashes (fast path).
 
     Used by the verify stage to re-derive shingle sets for candidate
     docs only — the full corpus never carries the wide shingle column.
+    Same word-hash fold as fast_signature_udf, so signatures and
+    verification live in one consistent hash space.
     """
     from pyspark.sql.types import ArrayType, LongType
-
-    from clann_spark.functions.text import py_shingles
 
     prime = cfg.prime
     k = cfg.shingle_k
@@ -199,15 +276,11 @@ def fast_shingle_hashes_udf(cfg: DedupConfig):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = py_shingles(t or "", k)
-            hs = (
-                pd.util.hash_array(np.asarray(sh, dtype=object), hash_key=hash_key)
-                >> np.uint64(33)
-            ).astype(np.int64) % prime
-            out.append(np.unique(hs).tolist())
-        return pd.Series(out)
+        sh, off, _, _ = _fold_shingle_stream(texts, k, hash_key)
+        hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
+        return pd.Series(
+            [np.unique(hs31[off[d] : off[d + 1]]).tolist() for d in range(len(texts))]
+        )
 
     return _sh
 
@@ -216,26 +289,38 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
     """text -> struct(shingle_hashes, sig, simhash, bands) — the scale
     path. Per Arrow batch:
 
-      * shingle strings built in one Python pass (the only scalar loop);
-      * hashed with pandas' C siphash (pd.util.hash_array, seeded key);
-      * MinHash = 128 x np.minimum.reduceat over the concatenated hash
-        stream (no per-doc Python);
-      * SimHash = bit-unpack + np.add.reduceat majority vote;
+      * WORDS hashed once with pandas' C siphash; shingle hashes are a
+        k-lane splitmix fold over consecutive word hashes — no k-gram
+        strings are ever built (_fold_shingle_stream);
+      * MinHash = per permutation, multiply by a seeded odd 64-bit
+        constant (a bijection on uint64 — a valid min-wise permutation
+        family) + one np.minimum.reduceat over the concatenated hash
+        stream. No mod, no add: one vector multiply per permutation,
+        the cheapest inner loop the memory bus allows;
+      * SimHash = unpackbits (uint8 bit matrix, 4x less traffic than
+        the old int32 unpack) + np.add.reduceat majority vote;
       * band hashes = splitmix64 rounds folding the r lanes (vectorized).
 
-    Measured ~40x faster than the interpreted higher-order-function expr
-    path (which cannot enter whole-stage codegen).
+    Deterministic but NOT md5-parity — the oracle config stays
+    'expr'/'pandas'. Values changed vs round 1 (the old string-shingle
+    path); only cross-engine Jaccard values, which are hash-space
+    independent, are contract-bearing.
     """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    from clann_spark.functions.text import py_words
-
-    a = np.array([p[0] for p in cfg.perms], dtype=np.int64)
-    b = np.array([p[1] for p in cfg.perms], dtype=np.int64)
     prime = cfg.prime
     k = cfg.shingle_k
     n_bands, r = cfg.bands, cfg.rows_per_band
+    num_perm = cfg.num_perm
     hash_key = f"{cfg.seed:016d}"[:16]
+    # seeded odd multipliers: one uint64 bijection per permutation
+    mults = (
+        pd.util.hash_array(
+            np.asarray([f"perm-{cfg.seed}-{i}" for i in range(num_perm)], dtype=object),
+            hash_key=hash_key,
+        )
+        | np.uint64(1)
+    )
 
     fields = [
         StructField("sig", ArrayType(LongType())),
@@ -246,59 +331,44 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
         fields.insert(0, StructField("shingle_hashes", ArrayType(LongType())))
     schema = StructType(fields)
 
-    def _hash_str_array(values: list[str]) -> np.ndarray:
-        if not values:
-            return np.empty(0, dtype=np.uint64)
-        return pd.util.hash_array(np.asarray(values, dtype=object), hash_key=hash_key)
-
     @F.pandas_udf(schema)
     def _sig(texts: pd.Series) -> pd.DataFrame:
-        all_shingles: list[str] = []
-        all_words: list[str] = []
-        sh_offsets = [0]
-        w_offsets = [0]
-        for t in texts:
-            w = py_words(t or "")
-            n = max(1, len(w) - k + 1)
-            seen: set[str] = set()
-            for i in range(n):
-                s = " ".join(w[i : i + k])
-                if s not in seen:
-                    seen.add(s)
-                    all_shingles.append(s)
-            sh_offsets.append(len(all_shingles))
-            all_words.extend(set(w))
-            w_offsets.append(len(all_words))
-
-        hs = (_hash_str_array(all_shingles) >> np.uint64(33)).astype(np.int64) % prime
-        sh_off = np.array(sh_offsets, dtype=np.int64)
         n_docs = len(texts)
+        sh, sh_off, wh_u, w_off = _fold_shingle_stream(texts, k, hash_key)
 
-        # MinHash: one reduceat per permutation over the whole batch
-        sig = np.empty((n_docs, len(a)), dtype=np.int64)
-        if hs.size:
+        # MinHash over the uint64 fold hashes: multiply-bijection + min,
+        # then >>33 so sig values stay 31-bit (schema parity with the
+        # oracle path's value range)
+        sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+        if sh.size:
             # reduceat raises on a start index == len(vals) (an empty
             # trailing segment); clamp and overwrite via the mask below
-            starts = np.minimum(sh_off[:-1], hs.size - 1)
-            for i in range(len(a)):
-                vals = (a[i] * hs + b[i]) % prime
-                sig[:, i] = np.minimum.reduceat(vals, starts)
+            starts = np.minimum(sh_off[:-1], sh.size - 1)
+            for i in range(num_perm):
+                sig[:, i] = np.minimum.reduceat(sh * mults[i], starts)
+            sig >>= np.uint64(33)
             empty = sh_off[1:] == sh_off[:-1]
             if empty.any():
-                sig[empty] = prime
+                sig[empty] = np.uint64(prime)
         else:
-            sig[:] = prime
+            sig[:] = np.uint64(prime)
+        sig = sig.astype(np.int64)
 
-        # SimHash (60-bit majority over distinct word hashes)
-        wh = (_hash_str_array(all_words) >> np.uint64(4)).astype(np.int64)
-        w_off = np.array(w_offsets, dtype=np.int64)
+        # SimHash (60-bit majority over distinct word hashes);
+        # unpackbits on the little-endian byte view: bit j of the hash
+        # is column 8*(j//8) + (7 - j%8) — a fixed permutation of
+        # columns, i.e. still 64 independent LSH bits (we take 60)
         simhash = np.zeros(n_docs, dtype=np.int64)
-        if wh.size:
-            bits = ((wh[:, None] >> np.arange(SIMHASH_BITS)[None, :]) & 1).astype(np.int32)
-            ones = np.add.reduceat(bits, np.minimum(w_off[:-1], wh.size - 1), axis=0)
+        if wh_u.size:
+            bits = np.unpackbits(
+                wh_u.view(np.uint8).reshape(-1, 8), axis=1
+            ).astype(np.int16)
+            ones = np.add.reduceat(bits, np.minimum(w_off[:-1], wh_u.size - 1), axis=0)
             counts = (w_off[1:] - w_off[:-1])[:, None]
-            bitvec = (2 * ones >= counts) & (counts > 0)
-            simhash = (bitvec.astype(np.int64) << np.arange(SIMHASH_BITS)).sum(axis=1)
+            bitvec = (2 * ones.astype(np.int64) >= counts) & (counts > 0)
+            simhash = (
+                bitvec[:, :SIMHASH_BITS].astype(np.int64) << np.arange(SIMHASH_BITS)
+            ).sum(axis=1)
 
         # band hashes: fold r lanes + band index with splitmix rounds
         lanes = sig.reshape(n_docs, n_bands, r).astype(np.uint64)
@@ -310,9 +380,11 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
 
         out = {"sig": list(sig), "simhash": simhash, "bands": list(bands)}
         if include_shingles:
+            hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
             # per-row slices back to lists (arrow handles ragged arrays)
             out["shingle_hashes"] = [
-                hs[sh_off[d]: sh_off[d + 1]].tolist() for d in range(n_docs)
+                np.unique(hs31[sh_off[d] : sh_off[d + 1]]).tolist()
+                for d in range(n_docs)
             ]
         return pd.DataFrame(out)
 

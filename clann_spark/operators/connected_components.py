@@ -97,12 +97,16 @@ def connected_components(
     e = pairs.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
     e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
-    n_edges = e.count()
-    if n_edges <= driver_threshold:
-        spark = pairs.sparkSession
-        if n_edges == 0:
+    # single-probe small-graph shortcut: pull at most threshold+1 edges
+    # from the checkpoint blocks; if that is the whole graph, resolve on
+    # the driver (the old probe spent separate count + collect jobs —
+    # a flat serial term in every bench run)
+    spark = pairs.sparkSession
+    head = e.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        if not head:
             return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return _driver_union_find(spark, [(r["u"], r["v"]) for r in e.collect()])
+        return _driver_union_find(spark, [(r["u"], r["v"]) for r in head])
 
     def _fingerprint(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: (count, sum of row hashes).
