@@ -154,16 +154,22 @@ def main() -> None:
         factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "400"))
         n_scaled = n_docs * factor
         scaling = {"n_docs": n_scaled, "scale_factor": factor}
-        # N vs 4N CORES (local[2] vs local[8]): the allowed sandbox
-        # stand-in for N vs 4N executors. Higher thread counts and
-        # multi-JVM local-cluster both hit host memory-compaction noise
-        # on this VM (see BASELINE.md scaling notes).
-        for master, key in (("local[2]", "t_n"), ("local[8]", "t_4n")):
+        # N vs 4N EXECUTOR CORES: 1 worker JVM x 2 cores vs 4 worker
+        # JVMs x 2 cores (local-cluster = separate executor JVMs with
+        # their own heaps — the sandbox's closest stand-in for N vs 4N
+        # executors; see BASELINE.md). Override with
+        # SPARK_GRAFT_SCALING_MASTERS="masterN;master4N".
+        masters = os.environ.get(
+            "SPARK_GRAFT_SCALING_MASTERS",
+            "local-cluster[1,2,8192];local-cluster[4,2,8192]",
+        ).split(";")
+        for master, key in ((masters[0], "t_n"), (masters[1], "t_4n")):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
                 capture_output=True, text=True, env=os.environ,
             )
             scaling[key] = float(p.stdout.strip().splitlines()[-1])
+        scaling["masters"] = masters
         scaling["efficiency_n_to_4n"] = round(scaling["t_n"] / scaling["t_4n"] / 4.0, 3)
         scaling["docs_per_sec_n"] = round(n_scaled / scaling["t_n"], 1)
         scaling["docs_per_sec_4n"] = round(n_scaled / scaling["t_4n"], 1)

@@ -72,6 +72,22 @@ class DedupConfig:
     target_recall: float = 0.99
     seed: int = 42
 
+    # Band hash source (reference hash_source family):
+    #   independent : each band folds its own contiguous block of
+    #                 rows_per_band signature lanes (independent.hpp) —
+    #                 requires bands * rows_per_band == num_perm.
+    #   pooled      : each band folds rows_per_band lanes drawn (seeded)
+    #                 from the shared num_perm-lane pool (pool.hpp:12-194)
+    #                 — many bands from few lanes; bands are dependent,
+    #                 so the recall formula is approximate (exactly the
+    #                 reference's trade).
+    #   tensored    : bands are (left, right) half-code pairs from two
+    #                 small pools (tensor.hpp:39-174) — L1+L2 half-folds
+    #                 give L1*L2 bands; lane cost O(sqrt(bands)*r).
+    # Only the 'fast' signature impl supports pooled/tensored (the
+    # md5-expr oracle path stays independent).
+    hash_source: str = "independent"
+
     # Skew handling (north_rule: explicit; reference has none —
     # collection.hpp:415-441 loops whole segments unconditionally).
     bucket_cap: int = 5000
@@ -100,13 +116,43 @@ class DedupConfig:
     signature_impl: str = "expr"
 
     def __post_init__(self) -> None:
-        if self.bands * self.rows_per_band != self.num_perm:
+        if self.hash_source == "independent":
+            if self.bands * self.rows_per_band != self.num_perm:
+                raise ValueError(
+                    f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                    f"!= num_perm ({self.num_perm})"
+                )
+        elif self.hash_source == "pooled":
+            if self.num_perm < self.rows_per_band:
+                raise ValueError("pool (num_perm) smaller than rows_per_band")
+        elif self.hash_source == "tensored":
+            t1, t2 = self.tensor_shape
+            r_l = self.rows_per_band // 2
+            r_r = self.rows_per_band - r_l
+            need = t1 * r_l + t2 * r_r
+            if need > self.num_perm:
+                raise ValueError(
+                    f"tensored needs {need} lanes (t1={t1}, t2={t2}) "
+                    f"> num_perm ({self.num_perm})"
+                )
+        else:
+            raise ValueError(f"bad hash_source {self.hash_source!r}")
+        if self.hash_source != "independent" and self.signature_impl != "fast":
             raise ValueError(
-                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
-                f"!= num_perm ({self.num_perm})"
+                f"hash_source={self.hash_source!r} requires signature_impl='fast'"
             )
         if self.signature_impl not in ("expr", "pandas", "xxhash", "fast"):
             raise ValueError(f"bad signature_impl {self.signature_impl!r}")
+
+    @property
+    def tensor_shape(self) -> tuple[int, int]:
+        """(t1, t2) half-code pool sizes with t1*t2 >= bands (the first
+        `bands` pairs are used, tensor.hpp semantics)."""
+        import math as _math
+
+        t1 = max(1, _math.isqrt(self.bands))
+        t2 = (self.bands + t1 - 1) // t1
+        return t1, t2
 
     @property
     def prime(self) -> int:

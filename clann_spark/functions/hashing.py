@@ -186,6 +186,64 @@ def _splitmix_step(x: np.ndarray) -> np.ndarray:
 _FOLD_SEED = np.uint64(0x9E3779B97F4A7C15)
 
 
+def band_lane_indices(cfg: DedupConfig) -> np.ndarray:
+    """(bands, rows_per_band) signature-lane indices per band.
+
+    independent: contiguous blocks (independent.hpp:19-86 — one fresh
+    function set per table). pooled: seeded draws from the shared
+    num_perm-lane pool (pool.hpp:12-194 — cheaper lanes, dependent
+    bands)."""
+    from clann_spark.config import md5_int60
+
+    if cfg.hash_source == "pooled":
+        return np.array(
+            [
+                [
+                    md5_int60(f"{cfg.seed}-pool-{j}-{t}") % cfg.num_perm
+                    for t in range(cfg.rows_per_band)
+                ]
+                for j in range(cfg.bands)
+            ],
+            dtype=np.int64,
+        )
+    return np.arange(cfg.bands * cfg.rows_per_band).reshape(
+        cfg.bands, cfg.rows_per_band
+    )
+
+
+def _fold_lanes(sig: np.ndarray, idx: np.ndarray, salt: int) -> np.ndarray:
+    """(n, num_perm) signatures + (T, r) lane indices -> (n, T) folds."""
+    n = sig.shape[0]
+    lanes = sig[:, idx].astype(np.uint64)
+    acc = np.full((n, idx.shape[0]), salt, dtype=np.uint64)
+    acc ^= np.arange(idx.shape[0], dtype=np.uint64)[None, :] * np.uint64(0x100000001B3)
+    for j in range(idx.shape[1]):
+        acc = _splitmix_step(acc ^ lanes[:, :, j])
+    return acc
+
+
+def np_band_hashes_from_sig(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, num_perm) int64 signatures -> (n, bands) int64 band hashes,
+    dispatched on cfg.hash_source.
+
+    tensored (tensor.hpp:39-174): t1 left + t2 right half-folds (over
+    r/2 lanes each) combine as an outer splitmix product into t1*t2
+    band values — O(sqrt(bands)*r) lanes instead of O(bands*r)."""
+    if cfg.hash_source == "tensored":
+        t1, t2 = cfg.tensor_shape
+        r_l = cfg.rows_per_band // 2
+        r_r = cfg.rows_per_band - r_l
+        li = np.arange(t1 * r_l).reshape(t1, r_l)
+        ri = (t1 * r_l + np.arange(t2 * r_r)).reshape(t2, r_r)
+        left = _fold_lanes(sig, li, 0x243F6A8885A308D3)
+        right = _fold_lanes(sig, ri, 0x452821E638D01377)
+        comb = _splitmix_step(left[:, :, None] ^ _splitmix_step(right)[:, None, :])
+        n = sig.shape[0]
+        return (comb.reshape(n, t1 * t2)[:, : cfg.bands] >> np.uint64(4)).astype(np.int64)
+    acc = _fold_lanes(sig, band_lane_indices(cfg), 0x243F6A8885A308D3)
+    return (acc >> np.uint64(4)).astype(np.int64)  # 60-bit non-negative
+
+
 def _fold_shingle_stream(texts, k: int, hash_key: str):
     """Shared core of the fast path: tokenize once, hash WORDS once
     (pandas' C siphash — never materializing k-gram strings), then form
@@ -370,13 +428,10 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
                 bitvec[:, :SIMHASH_BITS].astype(np.int64) << np.arange(SIMHASH_BITS)
             ).sum(axis=1)
 
-        # band hashes: fold r lanes + band index with splitmix rounds
-        lanes = sig.reshape(n_docs, n_bands, r).astype(np.uint64)
-        acc = np.full((n_docs, n_bands), 0x243F6A8885A308D3, dtype=np.uint64)
-        acc ^= np.arange(n_bands, dtype=np.uint64)[None, :] * np.uint64(0x100000001B3)
-        for j in range(r):
-            acc = _splitmix_step(acc ^ lanes[:, :, j])
-        bands = (acc >> np.uint64(4)).astype(np.int64)  # 60-bit non-negative
+        # band hashes: fold selected lanes + band index with splitmix
+        # rounds; lane selection dispatches on cfg.hash_source
+        # (independent / pooled / tensored)
+        bands = np_band_hashes_from_sig(sig, cfg)
 
         out = {"sig": list(sig), "simhash": simhash, "bands": list(bands)}
         if include_shingles:

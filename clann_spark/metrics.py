@@ -40,6 +40,24 @@ class CounterSet:
         return {k: int(v.value) for k, v in self._accs.items()}
 
 
+def metrics_rollup(metrics_df: DataFrame) -> DataFrame:
+    """A5 build-metrics rollup (src/utils/metrics/mod.rs:152-185
+    analog): per-run totals — stages, rows, wall, summed counters."""
+    from pyspark.sql import functions as F
+
+    return metrics_df.groupBy("run_id").agg(
+        F.count("*").alias("n_stages"),
+        F.sum("rows").alias("total_rows"),
+        F.sum("wall_ms").alias("total_wall_ms"),
+        F.sum(F.coalesce(F.element_at("counters", "comparisons"), F.lit(0))).alias(
+            "comparisons"
+        ),
+        F.sum(F.coalesce(F.element_at("counters", "pairs_verified"), F.lit(0))).alias(
+            "pairs_verified"
+        ),
+    )
+
+
 def write_metrics_csv(metrics_df: DataFrame, path: str) -> None:
     """S6 CSV metrics sink (csv.rs:1-20 analog): one small header-ed
     CSV of the per-stage lineage/counter rows."""

@@ -21,10 +21,10 @@ pairs of docs sharing a bucket. Two pair modes:
 Skew handling (north_rule explicit requirement; the reference has
 none — collection.hpp:415-441 loops whole segments unconditionally):
 buckets larger than cfg.bucket_cap are salted into ceil(cnt/cap)
-subgroups keyed by xxhash64(doc_id, band_id); pairs form within a
-salt group only. Because the salt depends on band_id, different bands
-split a mega-cluster differently, so connectivity across subgroups is
-restored by the other bands (and by CC transitivity).
+subgroups keyed by xxhash64(doc_id, band_hash); pairs form within a
+salt group only. Because the salt depends on the band hash, different
+bands split a mega-cluster differently, so connectivity across
+subgroups is restored by the other bands (and by CC transitivity).
 """
 
 from __future__ import annotations
@@ -36,41 +36,51 @@ from clann_spark.config import DedupConfig
 
 
 def bucket_census(bucket_df: DataFrame) -> DataFrame:
-    """(band_id, band_hash) -> cnt. One map-side-combined shuffle."""
-    return bucket_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("cnt"))
+    """band_hash -> cnt. One map-side-combined shuffle.
+
+    band_id is NOT part of the key: the band index is folded into the
+    60-bit band hash itself (hashing.bands_sql / np_band_hashes_from_sig
+    salt the fold with the band index), so equal hashes from different
+    bands are ~n²·b²/2^60 random collisions — vanishing, and the exact
+    verify stage removes any pair they admit. Dropping the column cuts
+    the census/shuffle key width by a third at 10^12-row bucket tables.
+    """
+    return bucket_df.groupBy("band_hash").agg(F.count("*").alias("cnt"))
 
 
 def salted_buckets(
     bucket_df: DataFrame,
     cfg: DedupConfig,
-    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Join census back, drop singleton buckets, salt mega-buckets.
 
-    Output: (doc_id, band_id, band_hash, salt, cnt). Singleton buckets
+    Output: (doc_id, band_hash, salt, cnt). Singleton buckets
     (cnt=1) can never produce a pair and are dropped before the join —
     at web scale that is the vast majority of bucket rows.
 
-    Strategy note (measured at 2M docs / 64M bucket rows): a window
-    count over band_hash avoids the census side-table but forces a full
-    SORT of the bucket table — 2x slower end-to-end than hash-agg
-    census + broadcast join-back. The census broadcast has a serial
-    driver collect that grows with corpus size; above broadcast_limit
-    rows it falls back to a parallel shuffle join (the 10^12-doc path,
-    where the cnt>=2 census itself is sharded).
+    Strategy notes (measured at 2M docs / 64M bucket rows):
+      * a window count over band_hash avoids the census side-table but
+        forces a full SORT of the bucket table — 2x slower end-to-end
+        than hash-agg census + join-back;
+      * the join strategy for the join-back is left to AQE: it reads
+        the census's actual post-shuffle size and broadcasts it only
+        when it fits (spark.sql.autoBroadcastJoinThreshold), falling
+        back to a parallel shuffle join for duplicate-heavy corpora.
+        An explicit persist+count+broadcast gate here cost a flat
+        ~25-35 s of driver collect at 2M docs (1.2x N->4N stage
+        scaling); the AQE plan needs no extra materialization job.
     """
-    if broadcast_limit is None:
-        broadcast_limit = cfg.broadcast_limit
-    census = bucket_census(bucket_df).where(F.col("cnt") >= 2).persist()
-    if census.count() <= broadcast_limit:
-        census = F.broadcast(census)
-    b = bucket_df.join(census, ["band_id", "band_hash"])
+    slim = bucket_df.select("doc_id", "band_hash")
+    census = bucket_census(slim).where(F.col("cnt") >= 2)
+    b = slim.join(census, ["band_hash"])
     n_salt = F.ceil(F.col("cnt") / F.lit(cfg.bucket_cap)).cast("int")
+    # the salt key mixes in band_hash so different bands split a
+    # mega-cluster differently and CC reconnects across salt groups
     return b.withColumn(
         "salt",
         F.when(
             F.col("cnt") > cfg.bucket_cap,
-            F.pmod(F.xxhash64(F.col("doc_id"), F.col("band_id")), n_salt).cast("int"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("band_hash")), n_salt).cast("int"),
         ).otherwise(F.lit(0)),
     )
 
@@ -102,7 +112,7 @@ def candidate_pairs(
     MaxPairBuffer (maxpairbuffer.hpp:64-80 canonicalize, :33-46 dedup).
     """
     b = salted_buckets(bucket_df, cfg)
-    key = ["band_id", "band_hash", "salt"]
+    key = ["band_hash", "salt"]
     if mode == "anchor":
         pairs = _anchor(b, key)
     elif mode == "clique":

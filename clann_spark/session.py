@@ -29,13 +29,17 @@ def get_spark(
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    executor_mem = None
     if shuffle_partitions is None:
         spec = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         if spec == "*":
             shuffle_partitions = 32
-        elif "," in spec:  # local-cluster[workers,cores,mem]
-            workers, cores = spec.split(",")[:2]
-            shuffle_partitions = max(8, int(workers) * int(cores))
+        elif "," in spec:  # local-cluster[workers,cores,memMB]
+            parts = spec.split(",")
+            shuffle_partitions = max(8, int(parts[0]) * int(parts[1]))
+            if len(parts) > 2:
+                # leave headroom below the worker's memory budget
+                executor_mem = f"{max(1024, int(parts[2]) - 1024)}m"
         else:
             shuffle_partitions = max(8, int(spec))
 
@@ -58,6 +62,8 @@ def get_spark(
         # also see the package
         .config("spark.executorEnv.PYTHONPATH", repo_root)
     )
+    if executor_mem is not None:
+        b = b.config("spark.executor.memory", executor_mem)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

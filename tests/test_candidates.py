@@ -55,9 +55,11 @@ def test_mega_bucket_salted(spark):
 
 
 def test_census(spark):
-    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (3, 1, 100)])
-    got = {(r["band_id"], r["band_hash"]): r["cnt"] for r in bucket_census(b).collect()}
-    assert got == {(0, 100): 2, (1, 100): 1}
+    # keyed by band_hash alone: the band index is folded into the hash
+    # by the signature stage, so a flat key is sufficient (and slimmer)
+    b = _buckets(spark, [(1, 0, 100), (2, 0, 100), (3, 1, 200)])
+    got = {r["band_hash"]: r["cnt"] for r in bucket_census(b).collect()}
+    assert got == {100: 2, 200: 1}
 
 
 def test_auto_mode_mixes(spark):

@@ -112,6 +112,17 @@ def test_metrics_csv_sink(spark, docs, tmp_path_factory):
     assert "stage" in back.columns and "wall_ms" in back.columns
 
 
+def test_metrics_rollup(spark, docs, tmp_path_factory):
+    from clann_spark.metrics import metrics_rollup
+
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    r = run_dedup_checkpointed(spark, docs, CFG, wd)
+    row = metrics_rollup(r["metrics"]).collect()[0]
+    assert row["n_stages"] == 6
+    assert row["comparisons"] > 0 and row["pairs_verified"] > 0
+    assert row["total_wall_ms"] > 0
+
+
 def test_knn_distance_counter(spark, embeddings):
     """A8 accumulator: probe/rescue UDFs count center-distance
     computations."""

@@ -32,10 +32,10 @@ def test_salting_caps_group_size(spark, skew_setup):
         docs.select("doc_id", "text"), CFG, include_shingles=False
     )
     sb = salted_buckets(explode_bands(sigs, CFG), CFG)
-    biggest_raw = sb.groupBy("band_id", "band_hash").count().agg(F.max("count")).collect()[0][0]
+    biggest_raw = sb.groupBy("band_hash").count().agg(F.max("count")).collect()[0][0]
     assert biggest_raw >= 1000  # the mega-bucket is real
     biggest_salted = (
-        sb.groupBy("band_id", "band_hash", "salt").count().agg(F.max("count")).collect()[0][0]
+        sb.groupBy("band_hash", "salt").count().agg(F.max("count")).collect()[0][0]
     )
     # hash-balanced split: no salt group beyond ~2x the cap
     assert biggest_salted <= 2 * CFG.bucket_cap, biggest_salted
