@@ -33,7 +33,12 @@ def _e2e(spark, docs, cfg, pair_mode="auto"):
 
     res = run_dedup(docs, cfg, pair_mode=pair_mode)
     row = dedup_summary(res).collect()[0]
+    # unpersist EVERY intermediate: Spark's CacheManager matches
+    # semantically-equal plans, so a leftover cache would make a
+    # repeated timing run read caches instead of executing
     res.signatures.unpersist()
+    res.candidates.unpersist()
+    res.verified.unpersist()
     return row
 
 
@@ -78,7 +83,19 @@ def one_run(master: str, factor: int) -> float:
     cfg = cfg.with_(hamming_prefilter=planned_prefilter(cfg))
     docs = _scaled_docs(spark, factor).persist()
     docs.count()  # materialize the input so we time the pipeline, not gen
-    _e2e(spark, docs.limit(500), cfg)  # JIT/codegen warmup
+    if os.environ.get("SPARK_GRAFT_WARM") == "1":
+        # warm protocol: one full untimed pass first — JVM JIT + shuffle
+        # machinery amortize on a long-running cluster; the timed second
+        # pass is the steady-state throughput. clearCache() drops every
+        # intermediate cache (CacheManager would otherwise serve
+        # semantically-equal plans from memory); only the input is
+        # re-materialized before timing.
+        _e2e(spark, docs, cfg)
+        spark.catalog.clearCache()
+        docs = docs.persist()
+        docs.count()
+    else:
+        _e2e(spark, docs.limit(500), cfg)  # JIT/codegen warmup (cheap)
     t0 = time.time()
     _e2e(spark, docs, cfg)
     dt = time.time() - t0
@@ -163,10 +180,16 @@ def main() -> None:
             "SPARK_GRAFT_SCALING_MASTERS",
             "local-cluster[1,2,8192];local-cluster[4,2,8192]",
         ).split(";")
+        # warm (steady-state) discipline by default: each level times
+        # the second full pass after clearCache — cold-JIT constants
+        # otherwise dominate the 4N level (BASELINE.md)
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_WARM", "1")
+        scaling["discipline"] = "warm" if env["SPARK_GRAFT_WARM"] == "1" else "cold"
         for master, key in ((masters[0], "t_n"), (masters[1], "t_4n")):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
-                capture_output=True, text=True, env=os.environ,
+                capture_output=True, text=True, env=env,
             )
             scaling[key] = float(p.stdout.strip().splitlines()[-1])
         scaling["masters"] = masters

@@ -51,6 +51,7 @@ def bucket_census(bucket_df: DataFrame) -> DataFrame:
 def salted_buckets(
     bucket_df: DataFrame,
     cfg: DedupConfig,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Join census back, drop singleton buckets, salt mega-buckets.
 
@@ -58,20 +59,27 @@ def salted_buckets(
     (cnt=1) can never produce a pair and are dropped before the join —
     at web scale that is the vast majority of bucket rows.
 
-    Strategy notes (measured at 2M docs / 64M bucket rows):
+    Strategy notes (all measured at 2M docs / 64M bucket rows):
       * a window count over band_hash avoids the census side-table but
         forces a full SORT of the bucket table — 2x slower end-to-end
         than hash-agg census + join-back;
-      * the join strategy for the join-back is left to AQE: it reads
-        the census's actual post-shuffle size and broadcasts it only
-        when it fits (spark.sql.autoBroadcastJoinThreshold), falling
-        back to a parallel shuffle join for duplicate-heavy corpora.
-        An explicit persist+count+broadcast gate here cost a flat
-        ~25-35 s of driver collect at 2M docs (1.2x N->4N stage
-        scaling); the AQE plan needs no extra materialization job.
+      * leaving the join-back strategy to AQE over an un-persisted /
+        cached census planned a sort-merge join of the 64M-row side
+        (136 s vs 51 s) — the explicit size gate below beats it;
+      * the persist+count+broadcast gate costs a flat driver collect
+        (~20-30 s at a 1.8M-row census) that limits this stage's
+        N->4N scaling to ~1.2x, but it is latency-optimal at every
+        measured size: the scaling-friendly alternative (shuffle join,
+        1.9x) is slower in wall clock at BOTH parallelism levels and
+        takes over automatically above the row gate — which a
+        10^12-doc census always exceeds.
     """
+    if broadcast_limit is None:
+        broadcast_limit = cfg.broadcast_limit
     slim = bucket_df.select("doc_id", "band_hash")
-    census = bucket_census(slim).where(F.col("cnt") >= 2)
+    census = bucket_census(slim).where(F.col("cnt") >= 2).persist()
+    if census.count() <= broadcast_limit:
+        census = F.broadcast(census)
     b = slim.join(census, ["band_hash"])
     n_salt = F.ceil(F.col("cnt") / F.lit(cfg.bucket_cap)).cast("int")
     # the salt key mixes in band_hash so different bands split a
