@@ -663,6 +663,35 @@ def q_ann_ivf_top5(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank")
 
 
+def q_knn_l2_top5(spark, sf_dir):
+    """Exact Euclidean top-5 through the IVF + chord/metric rescue path
+    (P3, euclideandata.rs:24-45, in query mode): L2 is a true metric so
+    the triangle-inequality rescue applies directly, and the result
+    equals brute force — the oracle is the exact L2 SQL."""
+    from clann_spark.operators.clustering import fit_partitioner
+    from clann_spark.operators.knn import knn_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where("vec_id % 50 = 0")
+    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=8, metric="euclidean")
+    return knn_ivf(
+        queries, emb, centers, k=5, nprobe=2, brute_force_below=16, metric="euclidean"
+    ).select("query_id", "neighbor_id", F.round("dist", 9).alias("dist"), "rank")
+
+
+O_KNN_L2_TOP5 = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))) AS dist
+      FROM q, c WHERE query_id != neighbor_id),
+r AS (SELECT query_id, neighbor_id, dist,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, round(dist, 9) AS dist, rank::BIGINT AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_lsh_query_top3(spark, sf_dir):
     """Incremental-dedup query mode (J2 probe path): every doc_id%100
     doc queried against the corpus bucket table; the oracle replays the
@@ -746,6 +775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_pairs_120": q_substring_pairs,
     "gonzalez_partition_stats": q_gonzalez_partition_stats,
     "ann_ivf_top5": q_ann_ivf_top5,
+    "knn_l2_top5": q_knn_l2_top5,
     "lsh_query_top3": q_lsh_query_top3,
 }
 
@@ -772,6 +802,7 @@ ORACLES: dict[str, str] = {
     "regex_token_stats": O_REGEX_TOKEN_STATS,
     # the rescue round makes IVF exact, so the brute-force SQL IS its oracle
     "ann_ivf_top5": O_KNN_COSINE_TOP5,
+    "knn_l2_top5": O_KNN_L2_TOP5,
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,

@@ -31,32 +31,53 @@ COS_SQL = (
     "sqrt(aggregate(vb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
 )
 
+#: Euclidean distance fold (ref euclideandata.rs:24-45, minus the
+#: norm-precompute rearrangement — the fold shape matches the DuckDB
+#: oracle exactly)
+L2_SQL = (
+    "sqrt(aggregate(zip_with(va, vb, (x, y) -> "
+    "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+    "0D, (acc, v) -> acc + v))"
+)
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    """Deterministic top-k per query: cos desc, id asc tie-break
-    (ref maxbuffer.hpp:28-31 breaks ties by id)."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+#: metric -> (score SQL, output column, better = descending?)
+_METRICS = {
+    "cosine": (COS_SQL, "cos", True),
+    "euclidean": (L2_SQL, "dist", False),
+}
+
+
+def _topk(scored: DataFrame, k: int, metric: str = "cosine") -> DataFrame:
+    """Deterministic top-k per query: best score first (cos desc / dist
+    asc), id asc tie-break (ref maxbuffer.hpp:28-31 breaks ties by id)."""
+    _, col, desc = _METRICS[metric]
+    order = F.desc(col) if desc else F.asc(col)
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+        .select("query_id", "neighbor_id", col, F.col("rank").cast("long").alias("rank"))
     )
 
 
-def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) query table against the
-    corpus — the J5/J4 brute-force oracle (collection.hpp:506-521)."""
+def knn_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, metric: str = "cosine"
+) -> DataFrame:
+    """Exact top-k (cosine or euclidean): broadcast the (small) query
+    table against the corpus — the J5/J4 brute-force oracle
+    (collection.hpp:506-521)."""
+    expr, col, _ = _METRICS[metric]
     q = queries.selectExpr("vec_id AS query_id", "embedding AS va")
     c = corpus.selectExpr("vec_id AS neighbor_id", "embedding AS vb")
     scored = (
         c.join(F.broadcast(q))
         .where("query_id != neighbor_id")
-        .selectExpr("query_id", "neighbor_id", f"{COS_SQL} AS cos")
+        .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
     )
-    return _topk(scored, k)
+    return _topk(scored, k, metric)
 
 
-def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray, acc=None):
+def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray, acc=None, metric: str = "cosine"):
     """embedding -> array<int> of the nprobe nearest partition ids plus
     every forced (brute-force-routed) partition. Vectorized per Arrow
     batch — the distributed replacement for the round-1 driver-side
@@ -74,7 +95,7 @@ def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray, acc=None):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.array([list(v) for v in vecs], dtype=np.float64)
-        d = pairwise_distance(x, c, "cosine")
+        d = pairwise_distance(x, c, metric)
         if acc is not None:  # A8 distance-computation counter
             acc.add(int(x.shape[0] * c.shape[0]))
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
@@ -88,42 +109,61 @@ def _probe_udf(centers: np.ndarray, nprobe: int, forced: np.ndarray, acc=None):
     return _probe
 
 
-def _rescue_udf(centers: np.ndarray, radii: np.ndarray, eps: float = 1e-9, acc=None):
-    """(embedding, kth_cos, probed) -> array<int> of additional
+def _rescue_udf(
+    centers: np.ndarray,
+    radii: np.ndarray,
+    eps: float = 1e-9,
+    acc=None,
+    metric: str = "cosine",
+):
+    """(embedding, kth_score, probed) -> array<int> of additional
     partitions that could still hold a top-k neighbor: the J6
-    triangle-inequality test (src/core/index.rs:342-361) in CHORD
-    space, where it is a valid metric bound for unit vectors:
-    ||q-x|| >= ||q-c|| - r. 1-cos itself violates the triangle
-    inequality; chord = sqrt(2*(1-cos)) does not. kth_cos < -1 (no /
-    not enough round-1 results) rescues every unprobed partition."""
+    triangle-inequality test (src/core/index.rs:342-361).
+
+    cosine: the test runs in CHORD space, where it is a valid metric
+    bound for unit vectors (||q-x|| >= ||q-c|| - r; 1-cos itself
+    violates the triangle inequality, chord = sqrt(2*(1-cos)) does
+    not); kth_score is the kth-best cosine, sentinel < -1 rescues all.
+    euclidean: L2 is a metric — the bound applies directly; kth_score
+    is the kth-best distance, sentinel < 0 rescues all."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     from clann_spark.operators.clustering import pairwise_distance
 
     c = centers.copy()
-    r_chord = np.sqrt(2.0 * np.maximum(radii, 0.0))
+    if metric == "cosine":
+        r_bound = np.sqrt(2.0 * np.maximum(radii, 0.0))
+    else:
+        r_bound = np.maximum(radii, 0.0)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _rescue(vecs: pd.Series, kth: pd.Series, probed: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.array([list(v) for v in vecs], dtype=np.float64)
-        d_chord = np.sqrt(2.0 * np.maximum(pairwise_distance(x, c, "cosine"), 0.0))
+        d = pairwise_distance(x, c, metric)
         if acc is not None:
             acc.add(int(x.shape[0] * c.shape[0]))
         kth_arr = kth.to_numpy(dtype=np.float64)
-        kth_chord = np.sqrt(2.0 * np.maximum(1.0 - kth_arr, 0.0))
+        if metric == "cosine":
+            d_bound = np.sqrt(2.0 * np.maximum(d, 0.0))
+            kth_bound = np.sqrt(2.0 * np.maximum(1.0 - kth_arr, 0.0))
+            need_all_arr = kth_arr < -1.0
+        else:
+            d_bound = d
+            kth_bound = kth_arr
+            need_all_arr = kth_arr < 0.0
         out = []
         for i in range(len(x)):
-            need_all = kth_arr[i] < -1.0
-            lower = d_chord[i] - r_chord
+            need_all = need_all_arr[i]
+            lower = d_bound[i] - r_bound
             seen = set(int(p) for p in probed.iloc[i])
             out.append(
                 [
                     int(p)
                     for p in range(c.shape[0])
                     if p not in seen
-                    and (need_all or lower[p] <= kth_chord[i] + eps)
+                    and (need_all or lower[p] <= kth_bound[i] + eps)
                 ]
             )
         return pd.Series(out)
@@ -141,6 +181,7 @@ def knn_ivf(
     brute_force_below: int = 100,
     broadcast_limit: int = 4_000_000,
     counters=None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF k-NN: corpus pre-partitioned by nearest Gonzalez center; each
     query probes its nprobe nearest partitions, then a single RESCUE
@@ -171,8 +212,10 @@ def knn_ivf(
     distance-computation counter of performance.hpp:72-80 summed at
     run granularity).
     """
+    expr, col, desc = _METRICS[metric]
+    sentinel = -2.0 if metric == "cosine" else -1.0
     spark = queries.sparkSession
-    assigned = assign_partitions(corpus, centers, "embedding").select(
+    assigned = assign_partitions(corpus, centers, "embedding", metric=metric).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
         "partition_id",
@@ -199,7 +242,9 @@ def knn_ivf(
     probe1 = q.select(
         "query_id",
         "va",
-        _probe_udf(centers, nprobe, np.array(forced), acc)(F.col("va")).alias("pids"),
+        _probe_udf(centers, nprobe, np.array(forced), acc, metric=metric)(
+            F.col("va")
+        ).alias("pids"),
     ).persist()
     probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
 
@@ -209,25 +254,26 @@ def knn_ivf(
             assigned.join(p, "partition_id")
             .join(F.broadcast(q) if small_q else q, "query_id")
             .where("query_id != neighbor_id")
-            .selectExpr("query_id", "neighbor_id", f"{COS_SQL} AS cos")
+            .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
         )
 
     scored1 = _score(probe1_x)
     if not rescue:
-        return _topk(scored1, k)
+        return _topk(scored1, k, metric)
 
     scored1 = scored1.persist()
-    # round-1 kth similarity per query; queries with fewer than k
-    # results get kth = -2 (rescue everything unprobed)
+    # round-1 kth-best score per query; queries with fewer than k
+    # results get the sentinel (rescue everything unprobed)
+    kth_agg = F.min(col) if desc else F.max(col)
     kth = (
-        _topk(scored1, k)
+        _topk(scored1, k, metric)
         .groupBy("query_id")
-        .agg(F.count("*").alias("cnt"), F.min("cos").alias("kth0"))
+        .agg(F.count("*").alias("cnt"), kth_agg.alias("kth0"))
         .select(
             "query_id",
             F.when(F.col("cnt") >= k, F.col("kth0"))
-            .otherwise(F.lit(-2.0))
-            .alias("kth_cos"),
+            .otherwise(F.lit(sentinel))
+            .alias("kth_score"),
         )
     )
     rescue_df = (
@@ -235,19 +281,19 @@ def knn_ivf(
         .select(
             "query_id",
             "va",
-            F.coalesce("kth_cos", F.lit(-2.0)).alias("kth_cos"),
+            F.coalesce("kth_score", F.lit(sentinel)).alias("kth_score"),
             "pids",
         )
         .select(
             "query_id",
-            _rescue_udf(centers, radii, acc=acc)(
-                F.col("va"), F.col("kth_cos"), F.col("pids")
+            _rescue_udf(centers, radii, acc=acc, metric=metric)(
+                F.col("va"), F.col("kth_score"), F.col("pids")
             ).alias("extra"),
         )
         .select("query_id", F.explode("extra").alias("partition_id"))
     )
     scored2 = _score(rescue_df)
-    return _topk(scored1.unionByName(scored2), k)
+    return _topk(scored1.unionByName(scored2), k, metric)
 
 
 def lsh_text_query(

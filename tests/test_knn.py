@@ -80,6 +80,43 @@ def test_ivf_no_rescue_recall(spark, emb_small):
     assert recall >= 0.6, recall
 
 
+def test_euclidean_bruteforce_and_ivf_exact(spark, emb_small):
+    """P3 in query mode: L2 brute force matches numpy; L2 IVF with the
+    direct triangle-inequality rescue equals brute force."""
+    rows = emb_small.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    want = {}
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        d = np.sqrt(((x - x[qi]) ** 2).sum(axis=1))
+        order = sorted(
+            (float(d[j]), int(ids[j])) for j in range(len(ids)) if j != qi
+        )[:5]
+        want[int(qid)] = [nid for _, nid in order]
+
+    queries = emb_small.where("vec_id % 50 = 0")
+    bf_rows = knn_bruteforce(queries, emb_small, k=5, metric="euclidean").collect()
+    got = {}
+    for r in sorted(bf_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == want
+
+    centers = fit_partitioner(
+        emb_small, "embedding", id_col="vec_id", k=8, metric="euclidean"
+    )
+    ivf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf(
+            queries, emb_small, centers, k=5, nprobe=2,
+            brute_force_below=16, metric="euclidean",
+        ).collect()
+    }
+    bf = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in bf_rows}
+    assert ivf == bf
+
+
 def test_lsh_text_query_finds_near_dups(spark):
     cfg = DedupConfig()
     corpus = spark.createDataFrame(
