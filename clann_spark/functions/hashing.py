@@ -343,7 +343,9 @@ def fast_shingle_hashes_udf(cfg: DedupConfig):
     return _sh
 
 
-def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
+def fast_signature_udf(
+    cfg: DedupConfig, include_shingles: bool = True, include_sig: bool = True
+):
     """text -> struct(shingle_hashes, sig, simhash, bands) — the scale
     path. Per Arrow batch:
 
@@ -381,10 +383,11 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
     )
 
     fields = [
-        StructField("sig", ArrayType(LongType())),
         StructField("simhash", LongType()),
         StructField("bands", ArrayType(LongType())),
     ]
+    if include_sig:
+        fields.insert(0, StructField("sig", ArrayType(LongType())))
     if include_shingles:
         fields.insert(0, StructField("shingle_hashes", ArrayType(LongType())))
     schema = StructType(fields)
@@ -433,7 +436,9 @@ def fast_signature_udf(cfg: DedupConfig, include_shingles: bool = True):
         # (independent / pooled / tensored)
         bands = np_band_hashes_from_sig(sig, cfg)
 
-        out = {"sig": list(sig), "simhash": simhash, "bands": list(bands)}
+        out = {"simhash": simhash, "bands": list(bands)}
+        if include_sig:
+            out["sig"] = list(sig)
         if include_shingles:
             hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
             # per-row slices back to lists (arrow handles ragged arrays)

@@ -318,7 +318,7 @@ def lsh_text_query(
     q_sigs = (
         query_sigs
         if query_sigs is not None
-        else compute_signatures(queries, cfg, include_shingles=False)
+        else compute_signatures(queries, cfg, include_shingles=False, include_sig=False)
     )
     q_buckets = explode_bands(q_sigs, cfg).withColumnRenamed("doc_id", "query_id")
     c_buckets = explode_bands(corpus_sigs, cfg)

@@ -32,6 +32,7 @@ def compute_signatures(
     cfg: DedupConfig,
     text_col: str = "text",
     include_shingles: bool = True,
+    include_sig: bool = True,
 ) -> DataFrame:
     """Append shingle_hashes / sig / bands / simhash to ``df``.
 
@@ -42,15 +43,23 @@ def compute_signatures(
     re-derives shingle sets for the few candidate docs at verify time
     instead of carrying them through every shuffle — at 10^12 docs the
     shingle column alone would be multi-PB of shuffle traffic.
+
+    include_sig=False (fast impl only) additionally drops the raw
+    num_perm-lane signature from the OUTPUT (it is folded into band
+    hashes inside the UDF and consumed by nothing downstream) — ~1 KB
+    per row less Arrow transfer + cache/shuffle bytes.
     """
     if cfg.signature_impl == "fast":
-        udf = H.fast_signature_udf(cfg, include_shingles=include_shingles)
+        udf = H.fast_signature_udf(
+            cfg, include_shingles=include_shingles, include_sig=include_sig
+        )
         out = df.withColumn("_s", udf(F.coalesce(F.col(text_col), F.lit(""))))
         if include_shingles:
             out = out.withColumn("shingle_hashes", F.col("_s.shingle_hashes"))
+        if include_sig:
+            out = out.withColumn("sig", F.col("_s.sig"))
         return (
-            out.withColumn("sig", F.col("_s.sig"))
-            .withColumn("simhash", F.col("_s.simhash"))
+            out.withColumn("simhash", F.col("_s.simhash"))
             .withColumn("bands", F.col("_s.bands"))
             .drop("_s")
         )

@@ -71,7 +71,9 @@ def run_dedup(
         base = base.repartition(want * 2)
     # slim signatures: bands + simhash only (~270 B/row); shingle sets
     # are re-derived for candidate docs at verify time
-    sigs = compute_signatures(base, cfg, include_shingles=False).drop("text")
+    sigs = compute_signatures(
+        base, cfg, include_shingles=False, include_sig=False
+    ).drop("text")
     if persist_signatures:
         sigs = sigs.persist()
 

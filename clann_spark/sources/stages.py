@@ -242,7 +242,9 @@ def run_dedup_checkpointed(
 
     sigs = runner.stage(
         "signatures",
-        lambda: compute_signatures(base, cfg, include_shingles=False).drop("text"),
+        lambda: compute_signatures(
+            base, cfg, include_shingles=False, include_sig=False
+        ).drop("text"),
     )
     buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg), deps=["signatures"])
     cands = runner.stage(

@@ -80,7 +80,9 @@ def stream_dedup_query(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
-        q_sigs = compute_signatures(batch_df, cfg, include_shingles=False).persist()
+        q_sigs = compute_signatures(
+            batch_df, cfg, include_shingles=False, include_sig=False
+        ).persist()
 
         all_sigs = corpus_sigs.select("doc_id", "bands")
         all_docs = corpus_docs.select("doc_id", "text")
