@@ -64,6 +64,34 @@ def hyperplane_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 4
     return _bands
 
 
+def crosspolytope_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+    """embedding -> array<long> of b band values, each a splitmix fold
+    of r cross-polytope codes (H6, crosspolytope.hpp:121-209 — three
+    ±1-diagonal x FHT rounds, argmax-axis+sign encoding). One CP
+    function carries log2(2*dpad) bits, so bands need far fewer
+    functions than hyperplane bands at equal selectivity."""
+    from clann_spark.functions.crosspolytope import cp_codes, cp_diagonals, next_pow2
+    from clann_spark.functions.hashing import _splitmix_step
+
+    diagonals = cp_diagonals(bands * rows_per_band, next_pow2(dim), seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
+            len(x), bands, rows_per_band
+        )
+        acc = np.full((len(x), bands), 0x243F6A8885A308D3, dtype=np.uint64)
+        acc ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x100000001B3)
+        for j in range(rows_per_band):
+            acc = _splitmix_step(acc ^ codes[:, :, j])
+        return pd.Series(list((acc >> np.uint64(4)).astype(np.int64)))
+
+    return _bands
+
+
 def embedding_buckets(
     emb: DataFrame,
     bands: int,
@@ -71,12 +99,17 @@ def embedding_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "hyperplane",
 ) -> DataFrame:
     """(id, embedding) -> exploded (doc_id, band_id, band_hash) bucket
     rows, shaped exactly like signatures.explode_bands output so the
-    candidate machinery is shared."""
+    candidate machinery is shared. hash_family: 'hyperplane' (H1 over
+    vectors) or 'crosspolytope' (H6)."""
     dim = len(emb.select(vec_col).first()[0])
-    udf = hyperplane_bands_udf(dim, bands, rows_per_band, seed)
+    if hash_family == "crosspolytope":
+        udf = crosspolytope_bands_udf(dim, bands, rows_per_band, seed)
+    else:
+        udf = hyperplane_bands_udf(dim, bands, rows_per_band, seed)
     return emb.select(
         F.col(id_col).alias("doc_id"), udf(F.col(vec_col)).alias("bands")
     ).select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
@@ -91,6 +124,7 @@ def embedding_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cfg: DedupConfig | None = None,
+    hash_family: str = "hyperplane",
 ) -> DataFrame:
     """(id, embedding) -> (a, b, cos) pairs with exact cosine >= tau,
     candidates from banded hyperplane LSH, exactly verified.
@@ -103,7 +137,9 @@ def embedding_lsh_pairs(
     from clann_spark.operators.candidates import candidate_pairs
 
     cfg = cfg or DedupConfig()
-    buckets = embedding_buckets(emb, bands, rows_per_band, seed, id_col, vec_col)
+    buckets = embedding_buckets(
+        emb, bands, rows_per_band, seed, id_col, vec_col, hash_family
+    )
     cands = candidate_pairs(buckets, cfg, mode="clique").persist()
     small = cands.count() <= cfg.broadcast_limit
 

@@ -107,6 +107,51 @@ def plan_hyperplane_banding(
     return best
 
 
+def plan_cp_banding(
+    tau: float,
+    dim: int,
+    target_recall: float = 0.99,
+    max_funcs: int = 256,
+    max_rows_per_band: int = 4,
+    seed: int = 1234,
+) -> BandingPlan:
+    """Banding plan for the cross-polytope family (H6): per-function
+    collision probability comes from the seeded Monte-Carlo table (H7,
+    crosspolytope.hpp:10-119) instead of a closed form; the S-curve
+    solve is identical to the other planners."""
+    from clann_spark.functions.crosspolytope import (
+        cp_probability_at,
+        cp_probability_table,
+    )
+
+    table = cp_probability_table(dim, seed=seed)
+    p = cp_probability_at(tau, table)
+    best: BandingPlan | None = None
+    for r in range(max_rows_per_band, 0, -1):
+        miss = 1.0 - p**r
+        if miss >= 1.0:
+            continue
+        b = 1 if miss <= 0.0 else max(
+            1, math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+        )
+        if b * r > max_funcs:
+            continue
+        fp_half = cp_probability_at(tau / 2.0, table)
+        best = BandingPlan(
+            bands=b,
+            rows_per_band=r,
+            recall_at_tau=1.0 - (1.0 - p**r) ** b,
+            fp_rate_at_half_tau=1.0 - (1.0 - fp_half**r) ** b,
+        )
+        break
+    if best is None:
+        raise ValueError(
+            f"no cross-polytope (b, r) with b*r <= {max_funcs} reaches "
+            f"recall {target_recall} at tau={tau}"
+        )
+    return best
+
+
 def planned_prefilter(cfg: DedupConfig, target_recall: float = 0.9999) -> int:
     """J7 sketch-filter threshold for a dedup config.
 
