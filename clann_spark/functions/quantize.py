@@ -1,0 +1,73 @@
+"""Fixed-point vector quantization (P5/P6 — the reference's storage
+format for dense vectors).
+
+Reference parity:
+  to_16bit_fixed_point -> libpuffinn/include/puffinn/format/
+      unit_vector.hpp:40-45: L2-normalize, then round each coordinate
+      to int16 in [-1, 1) (15 fractional bits);
+  fixed-point cosine  -> similarity_measure/cosine.hpp:19-23 +
+      math.hpp dot_product_i16: integer dot product, rescaled.
+
+Here quantization is a vectorized projection (NumPy in a pandas UDF or
+plain arrays); storage halves (int16 vs float32, 4x vs float64), and
+the integer dot accumulates in int64 (no SIMD lib needed — the JVM/
+NumPy path is already batch-vectorized). The error bound is
+|cos_q - cos| <= ~2*d*2^-15/||x|| ~ 1e-3 at d=64, tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ShortType
+
+#: 15 fractional bits: values in [-32768, 32767] represent [-1, 1)
+FIXED_ONE = 1 << 15
+
+
+def np_quantize_unit(x: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, d) int16 fixed-point of the L2-normalized
+    rows (unit_vector.hpp:70-88 insert semantics)."""
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    q = np.rint(xn * FIXED_ONE)
+    return np.clip(q, -FIXED_ONE, FIXED_ONE - 1).astype(np.int16)
+
+
+def np_cosine_i16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise fixed-point cosine of two (n, d) int16 matrices:
+    int64-accumulated dot, rescaled by 2^-30 (both operands carry
+    2^15)."""
+    dot = (a.astype(np.int64) * b.astype(np.int64)).sum(axis=1)
+    return dot.astype(np.float64) / float(FIXED_ONE * FIXED_ONE)
+
+
+def quantize_udf():
+    """embedding array<float/double> -> array<smallint> fixed-point."""
+
+    @F.pandas_udf(ArrayType(ShortType()))
+    def _q(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        return pd.Series(list(np_quantize_unit(x)))
+
+    return _q
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q"
+) -> DataFrame:
+    """Adds the int16 fixed-point column — half the bytes of float32
+    through every shuffle/cache; exact re-scoring stays available from
+    the original column when present."""
+    return emb.withColumn(out_col, quantize_udf()(F.col(vec_col)))
+
+
+#: fold-summed fixed-point cosine between two array<smallint> columns
+#: qa/qb — integer math in the JVM, one division at the end
+COS_I16_SQL = (
+    "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * cast(y as bigint)), "
+    f"0L, (acc, v) -> acc + v) / cast({FIXED_ONE * FIXED_ONE} as double)"
+)
