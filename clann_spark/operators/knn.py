@@ -323,8 +323,16 @@ def lsh_text_query(
     q_buckets = explode_bands(q_sigs, cfg).withColumnRenamed("doc_id", "query_id")
     c_buckets = explode_bands(corpus_sigs, cfg)
 
+    # size-gate the query-band broadcast: incremental batches are
+    # usually tiny, but a backfill of millions of queries must degrade
+    # to a shuffle join rather than OOM the executors
+    q_buckets = q_buckets.persist()
+    q_small = q_buckets.count() <= cfg.broadcast_limit
     cand = (
-        c_buckets.join(F.broadcast(q_buckets), ["band_id", "band_hash"])
+        c_buckets.join(
+            F.broadcast(q_buckets) if q_small else q_buckets,
+            ["band_id", "band_hash"],
+        )
         .where("query_id != doc_id")
         .select("query_id", "doc_id")
         .dropDuplicates(["query_id", "doc_id"])
