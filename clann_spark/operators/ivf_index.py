@@ -1,0 +1,204 @@
+"""Persisted IVF index: build-once / query-many over committed stage
+tables — the reference's index (de)serialization lifecycle (S3/S4:
+serialize -> src/core/index.rs:511-557 writes config JSON + per-cluster
+blobs; init_from_file re-reads them, index.rs:107-162) re-expressed as
+StageRunner-committed parquet tables plus a JSON sidecar of centers.
+
+Layout under workdir:
+  assigned/      (vec_id, embedding, partition_id)  — the "clusters"
+  stats/         (partition_id, n_points, radius)   — radii + routing
+  _lineage/      per-stage commit rows (fingerprint, files, counters)
+  centers.json   (k, d) center matrix + metric + config fingerprint
+
+Queries against a loaded index skip partition assignment entirely —
+the analog of searching a deserialized index without rebuilding it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clann_spark.config import DedupConfig
+from clann_spark.operators.clustering import (
+    assign_partitions,
+    fit_partitioner,
+)
+from clann_spark.sources.stages import StageRunner
+
+
+@dataclass
+class IvfIndex:
+    assigned: DataFrame     # vec_id, embedding, partition_id
+    centers: np.ndarray     # (k, d)
+    radii: np.ndarray       # (k,)
+    forced: list[int]       # brute-force-routed partitions (C4)
+    metric: str
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    workdir: str,
+    k: int | None = None,
+    metric: str = "cosine",
+    brute_force_below: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Partition the corpus and COMMIT the index as stage tables;
+    re-running with the same input/config resumes from the checkpoint
+    (the insert+rebuild+serialize build of SURVEY §3.1)."""
+    cfg = DedupConfig()  # banding fields unused; carries seed into lineage
+    runner = StageRunner(
+        spark, workdir, cfg, input_fingerprint=f"semhash:{emb.semanticHash()}|{metric}|{k}"
+    )
+
+    centers_path = os.path.join(workdir, "centers.json")
+    if os.path.exists(centers_path):
+        with open(centers_path) as f:
+            meta = json.load(f)
+        centers = np.array(meta["centers"], dtype=np.float64)
+    else:
+        centers = fit_partitioner(emb, vec_col, id_col=id_col, k=k, metric=metric)
+        tmp = centers_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"centers": centers.tolist(), "metric": metric}, f)
+        os.replace(tmp, centers_path)
+
+    assigned = runner.stage(
+        "assigned",
+        lambda: assign_partitions(emb, centers, vec_col, metric=metric).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "partition_id",
+            "center_dist",
+        ),
+    )
+    stats = runner.stage(
+        "stats",
+        lambda: assigned.groupBy("partition_id").agg(
+            F.count("*").alias("n_points"), F.max("center_dist").alias("radius")
+        ),
+        deps=["assigned"],
+    )
+    return _index_from_tables(assigned, stats, centers, metric, brute_force_below)
+
+
+def load_ivf_index(
+    spark: SparkSession,
+    workdir: str,
+    brute_force_below: int = 100,
+) -> IvfIndex:
+    """Re-open a committed index (init_from_file analog): no
+    recomputation, just the stage tables + centers sidecar."""
+    with open(os.path.join(workdir, "centers.json")) as f:
+        meta = json.load(f)
+    assigned = spark.read.parquet(os.path.join(workdir, "assigned"))
+    stats = spark.read.parquet(os.path.join(workdir, "stats"))
+    return _index_from_tables(
+        assigned,
+        stats,
+        np.array(meta["centers"], dtype=np.float64),
+        meta["metric"],
+        brute_force_below,
+    )
+
+
+def _index_from_tables(assigned, stats, centers, metric, brute_force_below) -> IvfIndex:
+    rows = stats.collect()
+    radii = np.zeros(centers.shape[0])
+    forced = []
+    for r in rows:
+        radii[r["partition_id"]] = r["radius"]
+        if r["n_points"] < brute_force_below:
+            forced.append(int(r["partition_id"]))
+    return IvfIndex(
+        assigned=assigned.select("vec_id", "embedding", "partition_id"),
+        centers=centers,
+        radii=radii,
+        forced=forced,
+        metric=metric,
+    )
+
+
+def knn_ivf_index(
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 10,
+    nprobe: int = 4,
+    rescue: bool = True,
+    broadcast_limit: int = 4_000_000,
+    counters=None,
+) -> DataFrame:
+    """Query a built/loaded index: identical semantics to knn_ivf (probe
+    UDF + C4 routing + J6 rescue -> exact when rescue=True) but the
+    corpus partitioning comes from the committed table — searching a
+    deserialized index, never rebuilding it."""
+    from clann_spark.operators.knn import _METRICS, _probe_udf, _rescue_udf, _topk
+
+    expr, col, desc = _METRICS[index.metric]
+    sentinel = -2.0 if index.metric == "cosine" else -1.0
+    assigned = index.assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "partition_id"
+    )
+    acc = counters.acc("center_dist_computations") if counters is not None else None
+
+    n_q = queries.count()
+    small_q = n_q * (nprobe + len(index.forced)) <= broadcast_limit
+    q = queries.selectExpr("vec_id AS query_id", "embedding AS va").persist()
+    probe1 = q.select(
+        "query_id",
+        "va",
+        _probe_udf(index.centers, nprobe, np.array(index.forced), acc, metric=index.metric)(
+            F.col("va")
+        ).alias("pids"),
+    ).persist()
+    probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
+
+    def _score(probe_x: DataFrame) -> DataFrame:
+        p = F.broadcast(probe_x) if small_q else probe_x
+        return (
+            assigned.join(p, "partition_id")
+            .join(F.broadcast(q) if small_q else q, "query_id")
+            .where("query_id != neighbor_id")
+            .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
+        )
+
+    scored1 = _score(probe1_x)
+    if not rescue:
+        return _topk(scored1, k, index.metric)
+
+    scored1 = scored1.persist()
+    kth_agg = F.min(col) if desc else F.max(col)
+    kth = (
+        _topk(scored1, k, index.metric)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("cnt"), kth_agg.alias("kth0"))
+        .select(
+            "query_id",
+            F.when(F.col("cnt") >= k, F.col("kth0")).otherwise(F.lit(sentinel)).alias("kth_score"),
+        )
+    )
+    rescue_df = (
+        probe1.join(kth, "query_id", "left")
+        .select(
+            "query_id",
+            "va",
+            F.coalesce("kth_score", F.lit(sentinel)).alias("kth_score"),
+            "pids",
+        )
+        .select(
+            "query_id",
+            _rescue_udf(index.centers, index.radii, acc=acc, metric=index.metric)(
+                F.col("va"), F.col("kth_score"), F.col("pids")
+            ).alias("extra"),
+        )
+        .select("query_id", F.explode("extra").alias("partition_id"))
+    )
+    return _topk(scored1.unionByName(_score(rescue_df)), k, index.metric)

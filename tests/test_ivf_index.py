@@ -1,0 +1,50 @@
+"""Persisted IVF index (S3/S4 lifecycle): build commits stage tables,
+rebuild resumes, load reopens without recompute, and queries against
+the loaded index equal brute force (rescue on)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clann_spark.operators.ivf_index import (
+    build_ivf_index,
+    knn_ivf_index,
+    load_ivf_index,
+)
+from clann_spark.operators.knn import knn_bruteforce
+
+
+@pytest.fixture(scope="module")
+def emb(spark, embeddings):
+    return embeddings.cache()
+
+
+def test_build_query_load_roundtrip(spark, emb, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("ivf"))
+    idx = build_ivf_index(spark, emb, wd, k=8, brute_force_below=16)
+    queries = emb.where("vec_id % 50 = 0")
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf_index(queries, idx, k=5, nprobe=2).collect()
+    }
+    assert got == exact
+
+    # second build in the same workdir resumes from the checkpoint
+    idx2 = build_ivf_index(spark, emb, wd, k=8, brute_force_below=16)
+    assert (idx2.centers == idx.centers).all()
+    assert os.path.exists(os.path.join(wd, "_lineage", "assigned.json"))
+
+    # a fresh process would load instead: same answers, no recompute
+    idx3 = load_ivf_index(spark, wd, brute_force_below=16)
+    assert idx3.metric == "cosine" and (idx3.radii == idx.radii).all()
+    got3 = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf_index(queries, idx3, k=5, nprobe=2).collect()
+    }
+    assert got3 == exact
