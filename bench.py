@@ -153,6 +153,31 @@ def main() -> None:
     cands = candidate_pairs(explode_bands(sigs, cfg_fast), cfg_fast, "auto")
     timed("candidates_verify", lambda: verify_pairs(cands, sigs, cfg_fast).count())
     timed("knn_cosine_top5", lambda: q_knn_cosine_top5(spark, SF_DIR).count())
+
+    from clann_spark.operators.embedding_lsh import embedding_lsh_pairs
+    from clann_spark.operators.simhash_dedup import simhash_near_pairs
+
+    timed(
+        "simhash_pairs",
+        lambda: simhash_near_pairs(
+            sigs.select("doc_id", "simhash"), max_hamming=4
+        ).count(),
+    )
+    # production near-dup regime (tau=0.9): the planner provisions a
+    # selective plan (the gate query's tau=0.4 setting is the
+    # degenerate everything-collides regime by design — see its
+    # docstring — and would benchmark brute force, not LSH)
+    from clann_spark.planner import plan_hyperplane_banding
+
+    eplan = plan_hyperplane_banding(0.9, target_recall=0.999, max_bits=1024)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "embedding_lsh_pairs",
+        lambda: embedding_lsh_pairs(
+            emb, tau=0.9, bands=eplan.bands, rows_per_band=eplan.rows_per_band,
+            verify_impl="fast",
+        ).count(),
+    )
     sigs.unpersist()
     spark.stop()
 

@@ -125,6 +125,7 @@ def embedding_lsh_pairs(
     vec_col: str = "embedding",
     cfg: DedupConfig | None = None,
     hash_family: str = "hyperplane",
+    verify_impl: str = "fold",
 ) -> DataFrame:
     """(id, embedding) -> (a, b, cos) pairs with exact cosine >= tau,
     candidates from banded hyperplane LSH, exactly verified.
@@ -149,7 +150,24 @@ def embedding_lsh_pairs(
         .join(e.select(F.col("doc_id").alias("a"), F.col("v").alias("va")), "a")
         .join(e.select(F.col("doc_id").alias("b"), F.col("v").alias("vb")), "b")
     )
-    return (
-        j.selectExpr("a", "b", f"{COS_SQL} AS cos")
-        .where(F.col("cos") >= tau)
-    )
+    if verify_impl == "fast":
+        # vectorized NumPy cosine per Arrow batch — ~100x the
+        # interpreted HOF fold when the candidate set is large (the
+        # leaky low-tau regime); 'fold' stays the DuckDB-bit-parity
+        # path used by the oracle gate
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if len(va) == 0:
+                return pd.Series([], dtype=np.float64)
+            x = np.array([list(v) for v in va], dtype=np.float64)
+            y = np.array([list(v) for v in vb], dtype=np.float64)
+            num = (x * y).sum(axis=1)
+            den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            return pd.Series(num / np.maximum(den, 1e-300))
+
+        scored = j.select("a", "b", _cos("va", "vb").alias("cos"))
+    else:
+        scored = j.selectExpr("a", "b", f"{COS_SQL} AS cos")
+    return scored.where(F.col("cos") >= tau)

@@ -76,6 +76,29 @@ def test_low_threshold_matches_fixture_oracle(spark, embeddings):
     assert got == _exact_pairs(emb, 0.4)
 
 
+def test_identical_vector_skew_is_salted(spark):
+    """Degenerate corpus: many identical embeddings form one mega
+    bucket in every band; the shared candidate machinery salts it
+    (bucket_cap) so no task sees the full clique, and the true
+    Hamming-0 connectivity survives via CC transitivity semantics —
+    here we assert the salted pair count stays far below the full
+    clique while every doc appears in at least one pair."""
+    from clann_spark.config import DedupConfig
+    from clann_spark.operators.candidates import candidate_pairs
+    from clann_spark.operators.embedding_lsh import embedding_buckets
+
+    n = 600
+    rows = [(i, [1.0, 2.0, -1.0, 0.5] * 8) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cfg = DedupConfig(signature_impl="fast", bucket_cap=50)
+    buckets = embedding_buckets(emb, bands=8, rows_per_band=4)
+    pairs = candidate_pairs(buckets, cfg, mode="auto", anchor_threshold=32)
+    got = pairs.collect()
+    assert len(got) < n * (n - 1) // 4  # nowhere near the full clique
+    touched = {r["a"] for r in got} | {r["b"] for r in got}
+    assert len(touched) == n  # every doc reachable for CC
+
+
 def test_bands_deterministic(spark, embeddings):
     emb = embeddings.limit(40)
     a = {(r["doc_id"], r["band_id"]): r["band_hash"]
