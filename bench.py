@@ -76,11 +76,10 @@ def one_run(master: str, factor: int) -> float:
     from clann_spark.config import DedupConfig
     from clann_spark.session import get_spark
 
-    from clann_spark.planner import planned_prefilter
-
     spark = get_spark("bench-one", master=master)
+    # hamming_prefilter defaults to 'auto' (planner threshold) — the
+    # prod J7 path, same as the reference's always-on sketch filter
     cfg = DedupConfig(signature_impl="fast")
-    cfg = cfg.with_(hamming_prefilter=planned_prefilter(cfg))
     docs = _scaled_docs(spark, factor).persist()
     docs.count()  # materialize the input so we time the pipeline, not gen
     if os.environ.get("SPARK_GRAFT_WARM") == "1":
@@ -119,8 +118,6 @@ def main() -> None:
         fn()
         queries[name] = round(time.time() - t0, 3)
 
-    from clann_spark.planner import planned_prefilter
-
     # S7 config source: an optional JSON config file overrides the
     # default prod config (reference: benches/configs.json)
     cfg_file = os.environ.get("SPARK_GRAFT_CONFIG")
@@ -129,12 +126,10 @@ def main() -> None:
 
         cfg_fast = load_configs_from_file(cfg_file)[0]
     else:
+        # J7 prefilter rides on the 'auto' default (planner threshold)
         cfg_fast = DedupConfig(signature_impl="fast")
-    # prod path: J7 sketch prefilter at the planner's recall-accounted
-    # threshold (the reference always filters, filterer.hpp:20-32)
-    if cfg_fast.hamming_prefilter is None:
-        cfg_fast = cfg_fast.with_(hamming_prefilter=planned_prefilter(cfg_fast))
-    cfg_oracle = DedupConfig()  # md5 expr path (the correctness-gate config)
+    # md5 expr path (the correctness-gate config; prefilter opted out)
+    cfg_oracle = DedupConfig(hamming_prefilter=None)
 
     from clann_spark.entry_queries import q_knn_cosine_top5
     from clann_spark.operators.candidates import candidate_pairs

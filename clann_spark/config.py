@@ -103,8 +103,14 @@ class DedupConfig:
 
     # SimHash prefilter: candidate pairs with Hamming distance above
     # this on the 60-bit fingerprint are dropped before exact verify
-    # (ref: filterer.hpp:20-32 sketch filter).
-    hamming_prefilter: int | None = None  # None = disabled (recall-safe)
+    # (ref: filterer.hpp:20-32 sketch filter). The reference ALWAYS
+    # filters (filterer.hpp:20-32), so the default is 'auto': the
+    # planner's recall-accounted threshold (planned_prefilter — per-pair
+    # drop probability <= 1e-4, and the flagship pair set is proven
+    # unchanged in tests/test_dedup_recall.py). None disables it — the
+    # oracle configs opt out because the DuckDB SQL does not model the
+    # filter. Resolve via cfg.hamming_threshold, not this field.
+    hamming_prefilter: int | str | None = "auto"
 
     # 'expr'  : pure Spark SQL expressions (md5-based, bit-identical to
     #           the DuckDB oracle). NOTE: higher-order-function lambdas
@@ -143,6 +149,9 @@ class DedupConfig:
             )
         if self.signature_impl not in ("expr", "pandas", "xxhash", "fast"):
             raise ValueError(f"bad signature_impl {self.signature_impl!r}")
+        hp = self.hamming_prefilter
+        if not (hp is None or hp == "auto" or (isinstance(hp, int) and hp >= 0)):
+            raise ValueError(f"bad hamming_prefilter {hp!r}")
 
     @property
     def tensor_shape(self) -> tuple[int, int]:
@@ -153,6 +162,15 @@ class DedupConfig:
         t1 = max(1, _math.isqrt(self.bands))
         t2 = (self.bands + t1 - 1) // t1
         return t1, t2
+
+    @property
+    def hamming_threshold(self) -> int | None:
+        """Resolved J7 sketch-filter threshold (None = filter disabled)."""
+        if self.hamming_prefilter == "auto":
+            from clann_spark.planner import planned_prefilter
+
+            return planned_prefilter(self)
+        return self.hamming_prefilter
 
     @property
     def prime(self) -> int:

@@ -24,7 +24,10 @@ from clann_spark.operators.connected_components import connected_components
 from clann_spark.operators.signatures import compute_signatures, explode_bands
 from clann_spark.operators.verify import verify_pairs
 
-CFG = DedupConfig()  # tau=0.8, 128 perms, 32x4 — the flagship config
+# tau=0.8, 128 perms, 32x4 — the flagship config. The J7 sketch
+# prefilter is opted OUT here (prod default is 'auto'): these queries
+# are the DuckDB-oracle contract and the SQL does not model the filter.
+CFG = DedupConfig(hamming_prefilter=None)
 
 #: common-token list for the language/stopword heuristics (drawn from
 #: the synthetic corpus vocabulary so the counts are non-vacuous).

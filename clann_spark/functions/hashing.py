@@ -244,15 +244,49 @@ def np_band_hashes_from_sig(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     return (acc >> np.uint64(4)).astype(np.int64)  # 60-bit non-negative
 
 
-def _fold_shingle_stream(texts, k: int, hash_key: str):
-    """Shared core of the fast path: tokenize once, hash WORDS once
-    (pandas' C siphash — never materializing k-gram strings), then form
-    shingle hashes as a k-lane splitmix fold over consecutive word
-    hashes (vectorized sliding slices). Word-window streams from all
-    docs are folded in ONE pass; per-doc validity and in-doc dedup are
-    mask/sort operations. This halves the Python-side work AND the
-    memory traffic of the old build-every-shingle-string loop — the
-    stage the N->4N scaling measurement showed to be bandwidth-bound.
+#: Version of the fast-path hash implementation. Folded into stage /
+#: streaming-state fingerprints (sources/stages.py) so checkpoints and
+#: committed corpus signatures written by an older hash space are
+#: invalidated instead of silently joined against (band values from two
+#: different hash impls never collide -> zero candidates, no error).
+#: v1 = round-1 string shingles; v2 = round-2 siphash word folds;
+#: v3 = round-3 JVM xxhash64 word hashes + splitmix folds.
+HASH_IMPL_VERSION = 3
+
+
+def _series_word_stream(wordsh: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """pandas Series of int64 ndarrays (one per doc, from an Arrow
+    list<bigint> column) -> (flat uint64 word-hash stream, doc offsets).
+
+    np.concatenate is a C memcpy over the per-row buffers — the only
+    per-row Python cost left in the fast path (pyarrow already built the
+    row ndarrays during Arrow->pandas conversion)."""
+    n_docs = len(wordsh)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in wordsh), dtype=np.int64, count=n_docs
+    )
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if offsets[-1]:
+        H = np.concatenate([a for a in wordsh if a is not None and len(a)]).astype(
+            np.int64, copy=False
+        ).view(np.uint64)
+    else:
+        H = np.empty(0, dtype=np.uint64)
+    return H, offsets
+
+
+def _fold_stream(H: np.ndarray, offsets: np.ndarray, k: int):
+    """Shared core of the fast path: shingle hashes as a k-lane splitmix
+    fold over consecutive 64-bit word hashes (vectorized sliding
+    slices). Word-window streams from all docs are folded in ONE pass;
+    per-doc validity and in-doc dedup are mask/sort operations.
+
+    The word hashes arrive pre-computed from the JVM
+    (text.word_xxhash_sql: codegen'd lower/split/xxhash64) — round 3
+    removed all Python tokenization/string hashing from this path; only
+    array<bigint> crosses the Arrow boundary (the term that dominated
+    the round-2 N->4N signature-stage attribution).
 
     Returns (uniq_shingle_hashes uint64, shingle_offsets,
              uniq_word_hashes uint64, word_offsets) — all per-doc
@@ -262,19 +296,7 @@ def _fold_shingle_stream(texts, k: int, hash_key: str):
     'all their words' single shingle of the SQL path); empty docs get
     the bare fold seed (all empty docs collide — they ARE identical).
     """
-    from clann_spark.functions.text import py_words
-
-    all_words, w_off = [], [0]
-    for t in texts:
-        all_words.extend(py_words(t or ""))
-        w_off.append(len(all_words))
-    offsets = np.array(w_off, dtype=np.int64)
-    H = (
-        pd.util.hash_array(np.asarray(all_words, dtype=object), hash_key=hash_key)
-        if all_words
-        else np.empty(0, dtype=np.uint64)
-    )
-    n_docs = len(texts)
+    n_docs = offsets.size - 1
     N = H.size
     m = offsets[1:] - offsets[:-1]
     ends = offsets[1:]
@@ -319,7 +341,8 @@ def _fold_shingle_stream(texts, k: int, hash_key: str):
 
 
 def fast_shingle_hashes_udf(cfg: DedupConfig):
-    """text -> array<long> distinct 31-bit shingle hashes (fast path).
+    """JVM word hashes (array<long>) -> array<long> distinct 31-bit
+    shingle hashes (fast path). Apply to text.word_xxhash_sql(text).
 
     Used by the verify stage to re-derive shingle sets for candidate
     docs only — the full corpus never carries the wide shingle column.
@@ -330,14 +353,14 @@ def fast_shingle_hashes_udf(cfg: DedupConfig):
 
     prime = cfg.prime
     k = cfg.shingle_k
-    hash_key = f"{cfg.seed:016d}"[:16]
 
     @F.pandas_udf(ArrayType(LongType()))
-    def _sh(texts: pd.Series) -> pd.Series:
-        sh, off, _, _ = _fold_shingle_stream(texts, k, hash_key)
+    def _sh(wordsh: pd.Series) -> pd.Series:
+        H, offsets = _series_word_stream(wordsh)
+        sh, off, _, _ = _fold_stream(H, offsets, k)
         hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
         return pd.Series(
-            [np.unique(hs31[off[d] : off[d + 1]]).tolist() for d in range(len(texts))]
+            [np.unique(hs31[off[d] : off[d + 1]]).tolist() for d in range(len(wordsh))]
         )
 
     return _sh
@@ -346,12 +369,16 @@ def fast_shingle_hashes_udf(cfg: DedupConfig):
 def fast_signature_udf(
     cfg: DedupConfig, include_shingles: bool = True, include_sig: bool = True
 ):
-    """text -> struct(shingle_hashes, sig, simhash, bands) — the scale
-    path. Per Arrow batch:
+    """JVM word hashes (array<long>, from text.word_xxhash_sql) ->
+    struct(shingle_hashes, sig, simhash, bands) — the scale path.
+    Per Arrow batch:
 
-      * WORDS hashed once with pandas' C siphash; shingle hashes are a
-        k-lane splitmix fold over consecutive word hashes — no k-gram
-        strings are ever built (_fold_shingle_stream);
+      * tokenization + word hashing happen JVM-SIDE (codegen'd
+        lower/split/xxhash64) before the boundary; the UDF receives
+        only int64 arrays — zero Python string objects (round-3 fix
+        for the Arrow-boundary term in the N->4N attribution);
+      * shingle hashes are a k-lane splitmix fold over consecutive
+        word hashes — no k-gram strings are ever built (_fold_stream);
       * MinHash = per permutation, multiply by a seeded odd 64-bit
         constant (a bijection on uint64 — a valid min-wise permutation
         family) + one np.minimum.reduceat over the concatenated hash
@@ -362,9 +389,9 @@ def fast_signature_udf(
       * band hashes = splitmix64 rounds folding the r lanes (vectorized).
 
     Deterministic but NOT md5-parity — the oracle config stays
-    'expr'/'pandas'. Values changed vs round 1 (the old string-shingle
-    path); only cross-engine Jaccard values, which are hash-space
-    independent, are contract-bearing.
+    'expr'/'pandas'. Values changed vs round 2 (HASH_IMPL_VERSION 3);
+    only cross-engine Jaccard values, which are hash-space independent,
+    are contract-bearing.
     """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -372,12 +399,11 @@ def fast_signature_udf(
     k = cfg.shingle_k
     n_bands, r = cfg.bands, cfg.rows_per_band
     num_perm = cfg.num_perm
-    hash_key = f"{cfg.seed:016d}"[:16]
     # seeded odd multipliers: one uint64 bijection per permutation
     mults = (
         pd.util.hash_array(
             np.asarray([f"perm-{cfg.seed}-{i}" for i in range(num_perm)], dtype=object),
-            hash_key=hash_key,
+            hash_key=f"{cfg.seed:016d}"[:16],
         )
         | np.uint64(1)
     )
@@ -393,9 +419,10 @@ def fast_signature_udf(
     schema = StructType(fields)
 
     @F.pandas_udf(schema)
-    def _sig(texts: pd.Series) -> pd.DataFrame:
-        n_docs = len(texts)
-        sh, sh_off, wh_u, w_off = _fold_shingle_stream(texts, k, hash_key)
+    def _sig(wordsh: pd.Series) -> pd.DataFrame:
+        n_docs = len(wordsh)
+        H, offsets = _series_word_stream(wordsh)
+        sh, sh_off, wh_u, w_off = _fold_stream(H, offsets, k)
 
         # MinHash over the uint64 fold hashes: multiply-bijection + min,
         # then >>33 so sig values stay 31-bit (schema parity with the

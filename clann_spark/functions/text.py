@@ -68,6 +68,20 @@ def shingles_sql(text_col: str, k: int) -> str:
     return shingles_from_words_sql(words_sql(text_col), k)
 
 
+def word_xxhash_sql(text_col: str, seed: int) -> str:
+    """Ordered 64-bit word hashes, computed ENTIRELY JVM-side.
+
+    lower + split + filter run inside whole-stage codegen; the
+    xxhash64(w, seed) transform is Catalyst's (seed rides along as a
+    hashed-in literal — Spark's xxhash64 has no seed parameter). This is
+    the fast signature path's input column: only array<bigint> crosses
+    the Arrow boundary, never text, so no Python string objects are
+    created per word (the term that dominated the round-2 N->4N
+    signature-stage attribution, BASELINE.md).
+    """
+    return f"transform({words_sql(text_col)}, w -> xxhash64(w, {seed}L))"
+
+
 def words_col(text_col: str) -> Column:
     return F.expr(words_sql(text_col))
 

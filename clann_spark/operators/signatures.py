@@ -53,7 +53,10 @@ def compute_signatures(
         udf = H.fast_signature_udf(
             cfg, include_shingles=include_shingles, include_sig=include_sig
         )
-        out = df.withColumn("_s", udf(F.coalesce(F.col(text_col), F.lit(""))))
+        # Tokenize + word-hash JVM-side (codegen); only array<bigint>
+        # crosses the Arrow boundary — the UDF never sees text.
+        wh = F.expr(T.word_xxhash_sql(f"coalesce({text_col}, '')", cfg.seed))
+        out = df.withColumn("_s", udf(wh))
         if include_shingles:
             out = out.withColumn("shingle_hashes", F.col("_s.shingle_hashes"))
         if include_sig:

@@ -22,11 +22,13 @@ Scale shape — two levels, both exact:
      unlike the probabilistic MinHash banding. The exact bit_count(xor)
      predicate then removes false candidates.
 
-Remaining quadratic terms are the TRUE output size (a clique of
-near-identical-but-distinct fingerprints really has that many pairs);
-callers that only need connectivity for clustering should feed these
-pairs into connected_components where `mode='anchor'` semantics apply
-upstream.
+Quadratic clique output is the TRUE pair set (every pair in a group of
+near-identical fingerprints IS a near-dup), but callers that only need
+CC connectivity can pass emit='anchor' (or 'auto'): identity groups
+emit m-1 min-doc anchor edges instead of m(m-1)/2 pairs, and large
+cross-value expansions emit one representative edge per value pair —
+mirroring candidates.py pair modes. Final clusters are identical
+(tests/test_simhash_dedup.py); emit='clique' stays the oracle contract.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clann_spark.config import SIMHASH_BITS
+from clann_spark.config import SIMHASH_BITS, DedupConfig
 
 
 def simhash_bands_expr(col: str, n_bands: int, bits: int = SIMHASH_BITS) -> str:
@@ -53,36 +55,80 @@ def simhash_near_pairs(
     n_bands: int | None = None,
     id_col: str = "doc_id",
     simhash_col: str = "simhash",
-    broadcast_limit: int = 4_000_000,
+    broadcast_limit: int | None = None,
+    emit: str = "clique",
+    anchor_threshold: int = 64,
 ) -> DataFrame:
     """(id, simhash) -> (a, b, hamming) pairs with Hamming <= max_hamming.
 
     n_bands defaults to max_hamming + 1 (the pigeonhole minimum for
     exact recall). Canonical a < b, deduped across bands (U2/J8
     semantics, maxpairbuffer.hpp:64-80). The census join-back is
-    size-gated: broadcast under broadcast_limit rows, shuffle join
-    above.
+    size-gated: broadcast under broadcast_limit rows (default: the
+    DedupConfig.broadcast_limit knob), shuffle join above.
+
+    emit: 'clique' (every true pair — the oracle contract), 'anchor'
+    (CC-connectivity edges only: min-doc anchors within identity
+    groups, one representative edge per cross-value pair), or 'auto'
+    (clique while the expansion stays under anchor_threshold, anchor
+    above — pair-complete where it matters, linear where a boilerplate
+    mega-group would emit O(m^2)).
     """
+    if emit not in ("clique", "anchor", "auto"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    if broadcast_limit is None:
+        broadcast_limit = DedupConfig().broadcast_limit
     n_bands = n_bands or (max_hamming + 1)
     s = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(simhash_col).alias("simhash")
     )
 
-    # level 1: distinct fingerprint values (+ how many docs carry each)
-    vals = s.groupBy("simhash").agg(F.count("*").alias("n_docs")).persist()
-
-    # Hamming-0 pairs: all doc pairs within an identical-fingerprint
-    # group. This is the true output (every such pair IS a near-dup);
-    # the join key is the full 60-bit value, so Spark distributes the
-    # groups and AQE splits any skewed one.
-    dup_vals = vals.where("n_docs >= 2").select("simhash")
-    same = s.join(dup_vals, "simhash")
-    identity_pairs = (
-        same.select("simhash", F.col("doc_id").alias("a"))
-        .join(same.select("simhash", F.col("doc_id").alias("b")), "simhash")
-        .where("a < b")
-        .select("a", "b", F.lit(0).alias("hamming"))
+    # level 1: distinct fingerprint values (+ how many docs carry each,
+    # + the group's min doc id — the anchor / representative)
+    vals = (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep"))
+        .persist()
     )
+
+    # Hamming-0 pairs within an identical-fingerprint group. clique:
+    # all doc pairs (the true output; the join key is the full 60-bit
+    # value, so Spark distributes the groups and AQE splits skew).
+    # anchor: m-1 edges (rep, doc) — same CC connectivity in O(m).
+    dup_vals = vals.where("n_docs >= 2")
+    if emit == "clique":
+        cliq_vals = dup_vals.select("simhash")
+    elif emit == "auto":
+        cliq_vals = dup_vals.where(F.col("n_docs") <= anchor_threshold).select("simhash")
+    else:
+        cliq_vals = None
+    identity_parts = []
+    if cliq_vals is not None:
+        same = s.join(cliq_vals, "simhash")
+        identity_parts.append(
+            same.select("simhash", F.col("doc_id").alias("a"))
+            .join(same.select("simhash", F.col("doc_id").alias("b")), "simhash")
+            .where("a < b")
+            .select("a", "b", F.lit(0).alias("hamming"))
+        )
+    if emit != "clique":
+        anch_vals = (
+            dup_vals
+            if emit == "anchor"
+            else dup_vals.where(F.col("n_docs") > anchor_threshold)
+        ).select("simhash", "rep")
+        identity_parts.append(
+            s.join(anch_vals, "simhash")
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.least("rep", "doc_id").alias("a"),
+                F.greatest("rep", "doc_id").alias("b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    identity_pairs = identity_parts[0]
+    for extra in identity_parts[1:]:
+        identity_pairs = identity_pairs.unionByName(extra)
 
     # level 2: banded pigeonhole over VALUES
     vb = vals.select(
@@ -109,16 +155,60 @@ def simhash_near_pairs(
     )
 
     # expand value pairs to doc pairs (each doc belongs to exactly one
-    # value group, so no cross-band dup can reappear here)
-    cross_pairs = (
-        value_pairs.join(
-            s.select(F.col("simhash").alias("va"), F.col("doc_id").alias("ia")), "va"
-        )
-        .join(s.select(F.col("simhash").alias("vb"), F.col("doc_id").alias("ib")), "vb")
-        .select(
-            F.least("ia", "ib").alias("a"),
-            F.greatest("ia", "ib").alias("b"),
-            "hamming",
-        )
+    # value group, so no cross-band dup can reappear here). clique:
+    # full na x nb expansion (true output). anchor: ONE representative
+    # edge per value pair — groups are internally connected by the
+    # identity edges, so one bridge suffices for CC. auto: full
+    # expansion while na*nb <= anchor_threshold, bridge above.
+    vp = value_pairs.join(
+        vals.select(
+            F.col("simhash").alias("va"),
+            F.col("n_docs").alias("na"),
+            F.col("rep").alias("ra"),
+        ),
+        "va",
+    ).join(
+        vals.select(
+            F.col("simhash").alias("vb"),
+            F.col("n_docs").alias("nb"),
+            F.col("rep").alias("rb"),
+        ),
+        "vb",
     )
-    return identity_pairs.unionByName(cross_pairs)
+    cross_parts = []
+    if emit == "clique":
+        full, bridged = vp, None
+    elif emit == "anchor":
+        full, bridged = None, vp
+    else:
+        gate = F.col("na") * F.col("nb") <= anchor_threshold
+        full, bridged = vp.where(gate), vp.where(~gate)
+    if full is not None:
+        cross_parts.append(
+            full.select("va", "vb", "hamming")
+            .join(
+                s.select(F.col("simhash").alias("va"), F.col("doc_id").alias("ia")),
+                "va",
+            )
+            .join(
+                s.select(F.col("simhash").alias("vb"), F.col("doc_id").alias("ib")),
+                "vb",
+            )
+            .select(
+                F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"),
+                "hamming",
+            )
+        )
+    if bridged is not None:
+        cross_parts.append(
+            bridged.select(
+                F.least("ra", "rb").alias("a"),
+                F.greatest("ra", "rb").alias("b"),
+                "hamming",
+            )
+        )
+    out = identity_pairs
+    for part in cross_parts:
+        out = out.unionByName(part)
+    return out

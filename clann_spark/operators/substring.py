@@ -150,7 +150,7 @@ def substring_pairs(
     min_len: int = 256,
     window: int | None = None,
     w: int = 32,
-    broadcast_limit: int = 4_000_000,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """(doc_id, text) -> (a, b, lcs_len) pairs sharing an exact common
     substring of >= min_len chars.
@@ -162,6 +162,10 @@ def substring_pairs(
     are size-gated: broadcast under broadcast_limit rows, parallel
     shuffle join above — boilerplate-heavy web corpora can make the
     fingerprint census and the candidate list arbitrarily large."""
+    if broadcast_limit is None:
+        from clann_spark.config import DedupConfig
+
+        broadcast_limit = DedupConfig().broadcast_limit
     window = window or (min_len - w + 1 if min_len - w + 1 > 0 else min_len)
     assert window + w - 1 <= min_len or min_len < w
 

@@ -39,7 +39,8 @@ def verify_pairs(
     bucketed signature table.
     """
     cols = [F.col("doc_id"), F.col("shingle_hashes")]
-    has_simhash = "simhash" in sig_df.columns and cfg.hamming_prefilter is not None
+    threshold = cfg.hamming_threshold
+    has_simhash = "simhash" in sig_df.columns and threshold is not None
     if has_simhash:
         cols.append(F.col("simhash"))
     s = sig_df.select(*cols)
@@ -68,7 +69,7 @@ def verify_pairs(
         )
     )
     if has_simhash:
-        j = j.where(F.expr("bit_count(sim_a ^ sim_b)") <= cfg.hamming_prefilter)
+        j = j.where(F.expr("bit_count(sim_a ^ sim_b)") <= threshold)
     out = j.select("a", "b", F.expr(JACCARD_SQL).alias("jaccard"))
     if not keep_below_tau:
         out = out.where(F.col("jaccard") >= cfg.tau)
@@ -130,13 +131,14 @@ def verify_pairs_from_text(
     cand_docs = docs.join(F.broadcast(cand_ids) if small else cand_ids, "doc_id")
 
     if cfg.signature_impl == "fast":
+        from clann_spark.functions import text as T
         from clann_spark.functions.hashing import fast_shingle_hashes_udf
 
+        # JVM tokenize+hash, then fold in numpy — same hash space as
+        # the signature stage (shared _fold_stream core)
+        wh = F.expr(T.word_xxhash_sql("coalesce(text, '')", cfg.seed))
         sh = cand_docs.select(
-            "doc_id",
-            fast_shingle_hashes_udf(cfg)(F.coalesce(F.col("text"), F.lit(""))).alias(
-                "shingle_hashes"
-            ),
+            "doc_id", fast_shingle_hashes_udf(cfg)(wh).alias("shingle_hashes")
         )
     else:
         from clann_spark.functions import hashing as H

@@ -84,12 +84,13 @@ def run_dedup(
     # IS written once as a stage table — sources/stages.py.)
     buckets = explode_bands(sigs, cfg)
     cands = candidate_pairs(buckets, cfg, mode=pair_mode).persist()
-    if cfg.hamming_prefilter is not None:
+    threshold = cfg.hamming_threshold
+    if threshold is not None:
         # J7 sketch filter: slim int64 joins + bit_count drop most false
         # candidates before the text re-derivation (filterer.hpp:20-32)
         from clann_spark.operators.verify import prefilter_pairs_by_simhash
 
-        cands = prefilter_pairs_by_simhash(cands, sigs, cfg.hamming_prefilter)
+        cands = prefilter_pairs_by_simhash(cands, sigs, threshold)
     verified = verify_pairs_from_text(cands, base, cfg).persist()
     clusters = connected_components(verified)
 

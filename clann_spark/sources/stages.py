@@ -30,7 +30,13 @@ from clann_spark.config import DedupConfig
 
 
 def _config_fingerprint(cfg: DedupConfig) -> str:
-    return hashlib.md5(json.dumps(asdict(cfg), sort_keys=True).encode()).hexdigest()
+    # HASH_IMPL_VERSION invalidates checkpoints / committed signature
+    # tables written by an older fast-path hash space: band joins across
+    # hash impls would silently yield zero candidates otherwise.
+    from clann_spark.functions.hashing import HASH_IMPL_VERSION
+
+    payload = {**asdict(cfg), "_hash_impl": HASH_IMPL_VERSION}
+    return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
 
 class StageRunner:
@@ -257,10 +263,11 @@ def run_dedup_checkpointed(
 
     def _verified():
         pairs = cands
-        if cfg.hamming_prefilter is not None:
+        threshold = cfg.hamming_threshold
+        if threshold is not None:
             from clann_spark.operators.verify import prefilter_pairs_by_simhash
 
-            pairs = prefilter_pairs_by_simhash(pairs, sigs, cfg.hamming_prefilter)
+            pairs = prefilter_pairs_by_simhash(pairs, sigs, threshold)
         return verify_pairs_from_text(pairs, base, cfg, observation=verify_obs)
 
     # A7/A8: comparisons + above-tau pairs observed by the stage's own

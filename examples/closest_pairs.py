@@ -36,7 +36,7 @@ def main() -> None:
         num_perm=plan.num_perm,
         tau=0.8,
     )
-    cfg = cfg.with_(hamming_prefilter=planned_prefilter(cfg))
+    # J7 sketch prefilter defaults to 'auto' (the planner threshold)
     print(
         f"banding plan: {plan.bands} bands x {plan.rows_per_band} rows, "
         f"recall_at_tau={plan.recall_at_tau:.6f}"
