@@ -60,15 +60,28 @@ def build_ivf_index(
     )
 
     centers_path = os.path.join(workdir, "centers.json")
+    # The sidecar carries the same input/config fingerprint as the
+    # stage lineage: a different corpus, k, or metric in the same
+    # workdir REFITS instead of silently reusing stale centers
+    # (round-2 ADVICE; mirrors index.rs:511-557 writing config JSON
+    # alongside the cluster blobs).
+    want_fp = {
+        "config_fingerprint": runner.fingerprint,
+        "input_fingerprint": runner.input_fingerprint,
+        "k": k,
+        "metric": metric,
+    }
+    centers = None
     if os.path.exists(centers_path):
         with open(centers_path) as f:
             meta = json.load(f)
-        centers = np.array(meta["centers"], dtype=np.float64)
-    else:
+        if {kk: meta.get(kk) for kk in want_fp} == want_fp:
+            centers = np.array(meta["centers"], dtype=np.float64)
+    if centers is None:
         centers = fit_partitioner(emb, vec_col, id_col=id_col, k=k, metric=metric)
         tmp = centers_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"centers": centers.tolist(), "metric": metric}, f)
+            json.dump({"centers": centers.tolist(), **want_fp}, f)
         os.replace(tmp, centers_path)
 
     assigned = runner.stage(
@@ -170,9 +183,11 @@ def knn_ivf_index(
             .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
         )
 
+    from clann_spark.session import track_cache
+
     scored1 = _score(probe1_x)
     if not rescue:
-        return _topk(scored1, k, index.metric)
+        return track_cache(_topk(scored1, k, index.metric), q, probe1)
 
     scored1 = scored1.persist()
     kth_agg = F.min(col) if desc else F.max(col)
@@ -201,4 +216,9 @@ def knn_ivf_index(
         )
         .select("query_id", F.explode("extra").alias("partition_id"))
     )
-    return _topk(scored1.unionByName(_score(rescue_df)), k, index.metric)
+    return track_cache(
+        _topk(scored1.unionByName(_score(rescue_df)), k, index.metric),
+        q,
+        probe1,
+        scored1,
+    )

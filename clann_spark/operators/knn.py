@@ -257,9 +257,11 @@ def knn_ivf(
             .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
         )
 
+    from clann_spark.session import track_cache
+
     scored1 = _score(probe1_x)
     if not rescue:
-        return _topk(scored1, k, metric)
+        return track_cache(_topk(scored1, k, metric), assigned, q, probe1)
 
     scored1 = scored1.persist()
     # round-1 kth-best score per query; queries with fewer than k
@@ -293,7 +295,11 @@ def knn_ivf(
         .select("query_id", F.explode("extra").alias("partition_id"))
     )
     scored2 = _score(rescue_df)
-    return _topk(scored1.unionByName(scored2), k, metric)
+    # register persisted intermediates for per-micro-batch callers
+    # (session.unpersist_intermediates) — they'd leak over a stream
+    return track_cache(
+        _topk(scored1.unionByName(scored2), k, metric), assigned, q, probe1, scored1
+    )
 
 
 def lsh_text_query(
@@ -343,7 +349,9 @@ def lsh_text_query(
     )
     verified = verify_pairs_from_text(pairs, docs_union, cfg, keep_below_tau=True)
     w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
-    return (
+    from clann_spark.session import track_cache
+
+    out = (
         verified.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -353,3 +361,6 @@ def lsh_text_query(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+    # q_buckets + the verify stage's pair cache: released per micro-batch
+    # by streaming callers via session.unpersist_intermediates
+    return track_cache(out, q_buckets, verified)

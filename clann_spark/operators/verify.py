@@ -181,4 +181,10 @@ def verify_pairs_from_text(
         )
     if not keep_below_tau:
         out = out.where(F.col("jaccard") >= cfg.tau)
-    return out
+    from clann_spark.session import track_cache
+
+    # `pairs` stays persisted for the size-gate count + two joins;
+    # register it so per-micro-batch callers can release the blocks
+    # (session.unpersist_intermediates) instead of leaking executor
+    # storage over a long-running stream.
+    return track_cache(out, pairs)

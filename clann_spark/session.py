@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def track_cache(owner, *cached):
+    """Attach persisted intermediates to a returned DataFrame so
+    long-running callers (a streaming foreachBatch that builds these
+    plans once per micro-batch) can release executor storage with
+    unpersist_intermediates after the consuming action — otherwise
+    cached blocks accumulate unboundedly over a stream's lifetime.
+    Chains: upstream _clann_cached lists on `cached` frames are
+    absorbed too."""
+    out = list(getattr(owner, "_clann_cached", []))
+    for c in cached:
+        out.extend(getattr(c, "_clann_cached", []))
+        out.append(c)
+    owner._clann_cached = out
+    return owner
+
+
+def unpersist_intermediates(df) -> None:
+    """Unpersist every intermediate registered by track_cache (safe to
+    call repeatedly; plans stay valid — blocks just recompute if ever
+    re-executed)."""
+    for c in getattr(df, "_clann_cached", []):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    df._clann_cached = []
+
+
 def get_spark(
     app_name: str = "clann_spark",
     master: str | None = None,

@@ -19,11 +19,24 @@ into the corpus — their (doc_id, text, bands) rows land in
 state_dir/batch=<id> and later batches dedup against them (the
 reference's insert-then-rebuild lifecycle, collection.hpp:218-222 /
 :241-306, re-expressed as an append-only bucket-state table).
+
+Intra-batch duplicates: docs arriving in the SAME micro-batch are
+deduped against each other first (band self-join + exact verify,
+canonical a < b): the later copy gets a match row pointing at the
+earlier one and is NOT accepted into state. Without this, availableNow
+backfills (one giant batch) would admit every duplicate.
+
+State compaction: every compact_every batches the accumulated
+batch=<id> directories are rewritten into a single base-<upto>
+directory (idempotent: fixed target dir + overwrite + _SUCCESS gate),
+so the per-batch read fan-in is bounded by compact_every instead of
+growing with stream lifetime.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,20 +46,89 @@ from clann_spark.config import DedupConfig
 STATE_SCHEMA = "doc_id long, text string, bands array<bigint>"
 
 
-def _read_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame | None:
-    """Union of accepted-doc state from every batch BEFORE before_batch
-    (excluding it makes retries deterministic)."""
+def _state_parts(state_dir: str, before_batch: int) -> list[str]:
+    """Committed state directories covering batches < before_batch:
+    the newest base-<upto> (upto <= before_batch) plus every
+    batch=<id> with upto <= id < before_batch."""
     if not os.path.isdir(state_dir):
-        return None
-    dirs = [
+        return []
+    bases = sorted(
+        int(d.split("-")[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("base-")
+        and int(d.split("-")[1]) <= before_batch
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+    upto = bases[-1] if bases else 0
+    parts = [os.path.join(state_dir, f"base-{upto}")] if bases else []
+    parts += [
         os.path.join(state_dir, d)
         for d in sorted(os.listdir(state_dir))
-        if d.startswith("batch=") and int(d.split("=")[1]) < before_batch
+        if d.startswith("batch=")
+        and upto <= int(d.split("=")[1]) < before_batch
         and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
     ]
-    if not dirs:
+    return parts
+
+
+def _read_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame | None:
+    parts = _state_parts(state_dir, before_batch)
+    if not parts:
         return None
-    return spark.read.schema(STATE_SCHEMA).parquet(*dirs)
+    return spark.read.schema(STATE_SCHEMA).parquet(*parts)
+
+
+def _check_state_meta(state_dir: str, cfg: DedupConfig) -> None:
+    """Guard the state layout against hash-space drift: band values
+    written by a different fast-path HASH_IMPL_VERSION (or another
+    config) never collide with the current one, so a stale state dir
+    would silently produce zero candidates. Refuse loudly instead."""
+    import json
+
+    from clann_spark.sources.stages import _config_fingerprint
+
+    meta_path = os.path.join(state_dir, "_meta.json")
+    want = {"config_fingerprint": _config_fingerprint(cfg)}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"streaming state at {state_dir} was written under a different "
+                f"config/hash-impl fingerprint ({have} != {want}); delete the "
+                "state_dir (and checkpoint) to rebuild, or run the old config"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(want, f)
+
+
+def _compact_state(
+    spark: SparkSession, state_dir: str, batch_id: int, compact_every: int
+) -> None:
+    """Rewrite base + batch dirs < batch_id into base-<batch_id> once
+    the batch-dir fan-in reaches compact_every. Idempotent: the target
+    name is a pure function of batch_id, written with overwrite; a
+    retried batch that already committed its base skips the rewrite.
+    Old dirs are removed only after the new base's _SUCCESS exists —
+    readers pick the newest committed base, so a crash between write
+    and cleanup leaves a consistent (merely redundant) layout.
+
+    Local-filesystem implementation (os/shutil); on HDFS/S3 the same
+    two-phase shape runs through the Hadoop FileSystem API."""
+    target = os.path.join(state_dir, f"base-{batch_id}")
+    parts = _state_parts(state_dir, batch_id)
+    n_batch_dirs = sum("batch=" in p for p in parts)
+    if n_batch_dirs < compact_every:
+        return
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        df = spark.read.schema(STATE_SCHEMA).parquet(*parts)
+        df.write.mode("overwrite").parquet(target)
+    # cleanup: everything the new base covers
+    for p in parts:
+        if os.path.abspath(p) != os.path.abspath(target):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def stream_dedup_query(
@@ -60,6 +142,7 @@ def stream_dedup_query(
     k: int = 5,
     available_now: bool = True,
     state_dir: str | None = None,
+    compact_every: int = 16,
 ):
     """Start (and by default drain-and-stop) the incremental-dedup
     stream: parquet page batches in input_dir -> top-k near-dup matches
@@ -70,10 +153,15 @@ def stream_dedup_query(
     StreamingQuery. available_now=True processes everything currently
     in input_dir and stops (batch catch-up); False runs continuously.
     """
+    from clann_spark.operators.candidates import candidate_pairs
     from clann_spark.operators.knn import lsh_text_query
-    from clann_spark.operators.signatures import compute_signatures
+    from clann_spark.operators.signatures import compute_signatures, explode_bands
+    from clann_spark.operators.verify import verify_pairs_from_text
+    from clann_spark.session import unpersist_intermediates
 
     schema = "doc_id long, text string"
+    if state_dir:
+        _check_state_meta(state_dir, cfg)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,6 +172,17 @@ def stream_dedup_query(
             batch_df, cfg, include_shingles=False, include_sig=False
         ).persist()
 
+        # intra-batch dedup FIRST: duplicates arriving within one
+        # micro-batch (the whole backfill, under availableNow) must be
+        # caught before corpus matching. Canonical a < b: the later
+        # copy is the duplicate of the earlier.
+        intra = verify_pairs_from_text(
+            candidate_pairs(explode_bands(q_sigs, cfg), cfg, mode="clique"),
+            batch_df,
+            cfg,
+        ).persist()
+        intra_dup_ids = intra.select(F.col("b").alias("doc_id")).distinct()
+
         all_sigs = corpus_sigs.select("doc_id", "bands")
         all_docs = corpus_docs.select("doc_id", "text")
         state = _read_state(spark, state_dir, batch_id) if state_dir else None
@@ -91,10 +190,19 @@ def stream_dedup_query(
             all_sigs = all_sigs.unionByName(state.select("doc_id", "bands"))
             all_docs = all_docs.unionByName(state.select("doc_id", "text"))
 
-        matches = lsh_text_query(
+        corpus_matches = lsh_text_query(
             batch_df, all_sigs, all_docs, cfg, k=k,
             query_sigs=q_sigs.select("doc_id", "bands"),
-        ).persist()
+        )
+        # intra-batch matches appear in the output too (the later copy
+        # points at the earlier); rank joins after the corpus ranks
+        intra_matches = intra.select(
+            F.col("b").alias("query_id"),
+            F.col("a").alias("doc_id"),
+            "jaccard",
+            F.lit(0).cast("long").alias("rank"),
+        )
+        matches = corpus_matches.unionByName(intra_matches).persist()
         # idempotent sink: a retried batch overwrites its own directory
         matches.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
@@ -105,10 +213,17 @@ def stream_dedup_query(
                 .distinct()
             )
             accepted = q_sigs.select("doc_id", "text", "bands").join(
-                dup_ids, "doc_id", "left_anti"
+                dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti"
             )
             accepted.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+            _compact_state(spark, state_dir, batch_id, compact_every)
+        # release every cache this batch registered (corpus_matches'
+        # verify/q_bucket caches included) — a continuous stream would
+        # otherwise accumulate executor storage without bound
+        unpersist_intermediates(corpus_matches)
+        unpersist_intermediates(intra)
         matches.unpersist()
+        intra.unpersist()
         q_sigs.unpersist()
         batch_df.unpersist()
 

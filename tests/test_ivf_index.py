@@ -48,3 +48,20 @@ def test_build_query_load_roundtrip(spark, emb, tmp_path_factory):
         for r in knn_ivf_index(queries, idx3, k=5, nprobe=2).collect()
     }
     assert got3 == exact
+
+
+def test_stale_centers_refit_on_config_change(spark, emb, tmp_path_factory):
+    """centers.json carries the input/config fingerprint: reusing the
+    SAME workdir with a different k or metric must refit the centers
+    instead of silently reusing stale ones (round-2 ADVICE)."""
+    wd = str(tmp_path_factory.mktemp("ivf_stale"))
+    idx4 = build_ivf_index(spark, emb, wd, k=4, brute_force_below=16)
+    assert idx4.centers.shape[0] == 4
+    # different k, same workdir -> refit (shape changes), not reuse
+    idx8 = build_ivf_index(spark, emb, wd, k=8, brute_force_below=16)
+    assert idx8.centers.shape[0] == 8
+    # different metric, same workdir -> refit + stored metric updates
+    idx_l2 = build_ivf_index(spark, emb, wd, k=8, metric="euclidean", brute_force_below=16)
+    assert idx_l2.metric == "euclidean"
+    reloaded = load_ivf_index(spark, wd, brute_force_below=16)
+    assert reloaded.metric == "euclidean"

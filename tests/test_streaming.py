@@ -99,3 +99,62 @@ def test_accepted_docs_enter_corpus_state(spark, corpus, tmp_path_factory):
     assert (5002, 5001) in top
     st2 = spark.read.parquet(state)
     assert {r["doc_id"] for r in st2.collect()} == {5001}
+
+
+def test_intra_batch_duplicates_are_caught(spark, corpus, tmp_path_factory):
+    """Two copies of a novel doc arriving in the SAME micro-batch: the
+    later copy must be matched to the earlier and NOT accepted into
+    corpus state (round-2 ADVICE: availableNow backfills land in one
+    batch, so batch self-dedup is load-bearing)."""
+    docs, sigs = corpus
+    base = str(tmp_path_factory.mktemp("stream_intra"))
+    in_dir, out_dir, ckpt, state = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/state"
+    )
+    os.makedirs(in_dir)
+    novel = "completely original content about deep sea cartography " * 6
+    _write_batch(spark, in_dir, [(7001, novel), (7002, novel + "tail"), (7003, "unrelated singleton text entirely")])
+    q = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt, state_dir=state)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    pairs = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert (7002, 7001) in pairs, pairs
+    st = {r["doc_id"] for r in spark.read.parquet(state).collect()}
+    assert st == {7001, 7003}, st
+
+
+def test_state_compaction_bounds_fanin(spark, corpus, tmp_path_factory):
+    """~8 micro-batches with compact_every=3: batch dirs get folded
+    into base-<upto> dirs, the read fan-in stays bounded, and the full
+    accepted-doc set is preserved across compactions."""
+    from clann_spark.streaming.incremental import _state_parts
+
+    docs, sigs = corpus
+    base = str(tmp_path_factory.mktemp("stream_compact"))
+    in_dir, out_dir, ckpt, state = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/state"
+    )
+    os.makedirs(in_dir)
+    n_batches = 8
+    for i in range(n_batches):
+        _write_batch(
+            spark,
+            in_dir,
+            [(8000 + i, f"novel stream doc {i} about topic{i} " + f"unique{i} words " * 8)],
+        )
+        q = stream_dedup_query(
+            spark, in_dir, sigs, docs, CFG, out_dir, ckpt,
+            state_dir=state, compact_every=3,
+        )
+        q.awaitTermination(120)
+
+    # fan-in bound: at most compact_every batch dirs + 1 base dir
+    parts = _state_parts(state, n_batches + 1)
+    assert sum("batch=" in p for p in parts) <= 3
+    assert any("base-" in p for p in parts)
+    # every accepted doc survives compaction
+    from clann_spark.streaming.incremental import _read_state, STATE_SCHEMA  # noqa: F401
+
+    st = _read_state(spark, state, n_batches + 1)
+    assert {r["doc_id"] for r in st.collect()} == {8000 + i for i in range(n_batches)}
