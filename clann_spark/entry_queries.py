@@ -513,6 +513,64 @@ def q_embedding_lsh_pairs(spark, sf_dir):
     ).selectExpr("a", "b", "round(cos, 9) AS cos")
 
 
+def q_embedding_lsh_cp_pairs(spark, sf_dir):
+    """H6 cross-polytope family in a GREEN driver row: same exact-verify
+    contract as the hyperplane query — the FHT cross-polytope codes only
+    generate candidates, verification is exact cosine, so the
+    brute-force pair SQL is the oracle. Banding provisioned by the
+    Monte-Carlo CP planner (H7)."""
+    from clann_spark.operators.embedding_lsh import embedding_lsh_pairs
+    from clann_spark.planner import plan_cp_banding
+
+    emb = _emb(spark, sf_dir).where("vec_id % 5 = 0")
+    dim = len(emb.select("embedding").first()[0])
+    plan = plan_cp_banding(0.4, dim=dim, target_recall=0.99999, max_funcs=512)
+    return embedding_lsh_pairs(
+        emb,
+        tau=0.4,
+        bands=plan.bands,
+        rows_per_band=plan.rows_per_band,
+        hash_family="crosspolytope",
+    ).selectExpr("a", "b", "round(cos, 9) AS cos")
+
+
+def _near_dup_pairs_fast(spark, sf_dir, hash_source: str):
+    """Flagship near-dup pipeline under the fast signature impl with a
+    non-independent band source; output is the verified pair SET (ids
+    only — Jaccard values live in the md5 hash space of the oracle)."""
+    from clann_spark.pipeline import run_dedup
+
+    docs = _docs(spark, sf_dir).where("doc_id % 2 = 0").select("doc_id", "text")
+    cfg = DedupConfig(
+        signature_impl="fast", hash_source=hash_source, hamming_prefilter=None
+    )
+    return run_dedup(docs, cfg).verified.select("a", "b")
+
+
+def q_minhash_pooled_pairs(spark, sf_dir):
+    """H9 pooled hash source in a GREEN driver row: bands draw their
+    lanes from the shared num_perm pool (pool.hpp:12-194). Exact verify
+    means the brute-force Jaccard SQL is the oracle; the banding's
+    P(miss) at the fixture's dup similarities is < 1e-9."""
+    return _near_dup_pairs_fast(spark, sf_dir, "pooled")
+
+
+def q_minhash_tensored_pairs(spark, sf_dir):
+    """H10 tensored hash source in a GREEN driver row: t1 x t2 half-code
+    band pairs (tensor.hpp:39-174), same exact-verify contract."""
+    return _near_dup_pairs_fast(spark, sf_dir, "tensored")
+
+
+def _o_bruteforce_dup_pairs() -> str:
+    sh = OQ.duck_shingle_hashes(OQ.duck_shingles("text", CFG.shingle_k))
+    return f"""
+WITH w AS (SELECT doc_id, {sh} AS hs FROM documents WHERE doc_id % 2 = 0)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE {OQ.duck_jaccard('a.hs', 'b.hs')} >= {CFG.tau}
+"""
+
+
 TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
 # Spark SQL string literals consume one backslash level; DuckDB doesn't
 TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")
@@ -773,6 +831,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "embedding_lsh_cp_pairs": q_embedding_lsh_cp_pairs,
+    "minhash_pooled_pairs": q_minhash_pooled_pairs,
+    "minhash_tensored_pairs": q_minhash_tensored_pairs,
     "regex_token_stats": q_regex_token_stats,
     "media_pipeline_stats": q_media_pipeline_stats,
     "substring_pairs_120": q_substring_pairs,
@@ -799,9 +860,17 @@ ORACLES: dict[str, str] = {
     "top_similar_pairs": O_TOP_SIMILAR_PAIRS,
     "simhash_hamming_pairs": O_SIMHASH_HAMMING_PAIRS,
     "embedding_cosine_pairs": O_EMBEDDING_COSINE_PAIRS,
-    # the LSH pair generator is planner-provisioned + exactly verified,
-    # so the brute-force pair SQL is its oracle too
+    # The LSH pair generators are planner-provisioned + exactly
+    # verified, so the brute-force pair SQL is their oracle too.
+    # NOTE (seeded-determinism assumption): banded LSH is probabilistic
+    # — the planner only bounds P(miss) <= 1e-5 per pair — so exact set
+    # equality holds for THIS seed/plan/fixture; changing any of them
+    # can fail the gate without a code bug (re-plan for recall, don't
+    # chase the seed).
     "embedding_lsh_pairs": O_EMBEDDING_COSINE_PAIRS,
+    "embedding_lsh_cp_pairs": O_EMBEDDING_COSINE_PAIRS,
+    "minhash_pooled_pairs": _o_bruteforce_dup_pairs(),
+    "minhash_tensored_pairs": _o_bruteforce_dup_pairs(),
     "regex_token_stats": O_REGEX_TOKEN_STATS,
     # the rescue round makes IVF exact, so the brute-force SQL IS its oracle
     "ann_ivf_top5": O_KNN_COSINE_TOP5,

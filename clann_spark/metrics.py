@@ -40,6 +40,49 @@ class CounterSet:
         return {k: int(v.value) for k, v in self._accs.items()}
 
 
+def attach_query_metrics(out, probe1, scored1, scored2) -> DataFrame:
+    """Per-QUERY search metrics (result_schema.sql:32-75
+    `search_metrics_query`; the per-query read-back of the
+    performance.hpp:72-80 counters via puffinn.rs:133-141).
+
+    Builds a lazy per-query counters DataFrame from the probe/scoring
+    joins of an IVF search — n_probes (partitions probed round 1),
+    n_candidates (round-1 distance computations), n_rescued (rescue
+    round computations), n_comparisons (total) — and attaches it to the
+    result; read it with query_metrics(result). Computed only if the
+    caller materializes it (the aggregations share scored1's persisted
+    blocks). Persist alongside stage counters via
+    StageRunner.stage('query_metrics', lambda: query_metrics(result)).
+    """
+    from pyspark.sql import functions as F
+
+    qm = probe1.select("query_id", F.size("pids").alias("n_probes"))
+    c1 = scored1.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    qm = qm.join(c1, "query_id", "left")
+    if scored2 is not None:
+        c2 = scored2.groupBy("query_id").agg(F.count("*").alias("n_rescued"))
+        qm = qm.join(c2, "query_id", "left")
+    else:
+        qm = qm.withColumn("n_rescued", F.lit(None).cast("long"))
+    qm = qm.select(
+        "query_id",
+        "n_probes",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_rescued", F.lit(0)).alias("n_rescued"),
+        (F.coalesce("n_candidates", F.lit(0)) + F.coalesce("n_rescued", F.lit(0))).alias(
+            "n_comparisons"
+        ),
+    )
+    out._clann_query_metrics = qm
+    return out
+
+
+def query_metrics(result_df: DataFrame) -> DataFrame | None:
+    """The per-query counters DataFrame attached by an IVF/LSH search
+    (None if the producing operator doesn't emit them)."""
+    return getattr(result_df, "_clann_query_metrics", None)
+
+
 def metrics_rollup(metrics_df: DataFrame) -> DataFrame:
     """A5 build-metrics rollup (src/utils/metrics/mod.rs:152-185
     analog): per-run totals — stages, rows, wall, summed counters."""

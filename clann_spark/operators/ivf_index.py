@@ -183,11 +183,13 @@ def knn_ivf_index(
             .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
         )
 
+    from clann_spark.metrics import attach_query_metrics
     from clann_spark.session import track_cache
 
     scored1 = _score(probe1_x)
     if not rescue:
-        return track_cache(_topk(scored1, k, index.metric), q, probe1)
+        out = track_cache(_topk(scored1, k, index.metric), q, probe1)
+        return attach_query_metrics(out, probe1, scored1, None)
 
     scored1 = scored1.persist()
     kth_agg = F.min(col) if desc else F.max(col)
@@ -216,9 +218,11 @@ def knn_ivf_index(
         )
         .select("query_id", F.explode("extra").alias("partition_id"))
     )
-    return track_cache(
-        _topk(scored1.unionByName(_score(rescue_df)), k, index.metric),
+    scored2 = _score(rescue_df)
+    out = track_cache(
+        _topk(scored1.unionByName(scored2), k, index.metric),
         q,
         probe1,
         scored1,
     )
+    return attach_query_metrics(out, probe1, scored1, scored2)

@@ -182,6 +182,7 @@ def knn_ivf(
     broadcast_limit: int = 4_000_000,
     counters=None,
     metric: str = "cosine",
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF k-NN: corpus pre-partitioned by nearest Gonzalez center; each
     query probes its nprobe nearest partitions, then a single RESCUE
@@ -211,15 +212,34 @@ def knn_ivf(
     'center_dist_computations' accumulator (A8, the per-query
     distance-computation counter of performance.hpp:72-80 summed at
     run granularity).
+
+    quantized=True (cosine only) is the reference's int16 fixed-point
+    storage in the hot path (unit_vector.hpp:40-51 + the integer dot of
+    math.hpp): the partitioned corpus carries ONLY the int16 column
+    (1/4 the bytes of array<double> through the probe join — the
+    dominant shuffle), candidates score with the JVM integer dot, and
+    survivors within the provable error band (|cos_q - cos| <=
+    2^-15*(sqrt(d)+1)) are re-scored exactly from the float column —
+    the result stays EXACT (equal to brute force when rescue=True).
     """
     expr, col, desc = _METRICS[metric]
+    if quantized and metric != "cosine":
+        raise ValueError("quantized scoring is fixed-point cosine only")
     sentinel = -2.0 if metric == "cosine" else -1.0
     spark = queries.sparkSession
-    assigned = assign_partitions(corpus, centers, "embedding", metric=metric).select(
+    assigned_cols = [
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
         "partition_id",
         "center_dist",
+    ]
+    if quantized:
+        from clann_spark.functions.quantize import quantize_udf
+
+        # the big (corpus) side of the scoring join carries int16 only
+        assigned_cols[1] = quantize_udf()(F.col("embedding")).alias("vb_q")
+    assigned = assign_partitions(corpus, centers, "embedding", metric=metric).select(
+        *assigned_cols
     ).persist()
     stats = (
         assigned.groupBy("partition_id")
@@ -238,7 +258,19 @@ def knn_ivf(
     small_q = n_q * (nprobe + len(forced)) <= broadcast_limit
 
     acc = counters.acc("center_dist_computations") if counters is not None else None
-    q = queries.selectExpr("vec_id AS query_id", "embedding AS va").persist()
+    q = queries.selectExpr("vec_id AS query_id", "embedding AS va")
+    if quantized:
+        from clann_spark.functions.quantize import COS_I16_SQL, quantize_udf
+
+        q = q.withColumn("va_q", quantize_udf()(F.col("va")))
+        qscore_sql = COS_I16_SQL.replace("qa", "va_q").replace("qb", "vb_q")
+        # |cos_q - cos| <= 2^-15*(sqrt(d)+1): round-off of both unit
+        # operands through the integer dot; the shortlist keeps every
+        # candidate within TWICE the bound of the kth quantized score,
+        # which provably contains the exact top-k
+        eps2 = 2.0 * (float(np.sqrt(centers.shape[1])) + 1.0) / 32768.0
+        corpus_f = corpus.selectExpr("vec_id AS neighbor_id", "embedding AS vb")
+    q = q.persist()
     probe1 = q.select(
         "query_id",
         "va",
@@ -250,18 +282,44 @@ def knn_ivf(
 
     def _score(probe_x: DataFrame) -> DataFrame:
         p = F.broadcast(probe_x) if small_q else probe_x
-        return (
+        cand = (
             assigned.join(p, "partition_id")
             .join(F.broadcast(q) if small_q else q, "query_id")
             .where("query_id != neighbor_id")
+        )
+        if not quantized:
+            return cand.selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
+        # integer-dot scoring on the slim join, then exact float
+        # re-score of the provable shortlist only
+        scored_q = cand.selectExpr("query_id", "neighbor_id", f"{qscore_sql} AS qscore")
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("qscore"), F.asc("neighbor_id")
+        )
+        ranked = scored_q.withColumn("rk", F.row_number().over(wq))
+        kth = ranked.where(F.col("rk") == k).select(
+            "query_id", F.col("qscore").alias("kthq")
+        )
+        short = (
+            ranked.join(kth, "query_id", "left")
+            .where(
+                (F.col("rk") <= k)
+                | (F.col("qscore") >= F.col("kthq") - F.lit(eps2))
+            )
+            .select("query_id", "neighbor_id")
+        )
+        return (
+            short.join(corpus_f, "neighbor_id")
+            .join(F.broadcast(q) if small_q else q, "query_id")
             .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
         )
 
+    from clann_spark.metrics import attach_query_metrics
     from clann_spark.session import track_cache
 
     scored1 = _score(probe1_x)
     if not rescue:
-        return track_cache(_topk(scored1, k, metric), assigned, q, probe1)
+        out = track_cache(_topk(scored1, k, metric), assigned, q, probe1)
+        return attach_query_metrics(out, probe1, scored1, None)
 
     scored1 = scored1.persist()
     # round-1 kth-best score per query; queries with fewer than k
@@ -297,9 +355,10 @@ def knn_ivf(
     scored2 = _score(rescue_df)
     # register persisted intermediates for per-micro-batch callers
     # (session.unpersist_intermediates) — they'd leak over a stream
-    return track_cache(
+    out = track_cache(
         _topk(scored1.unionByName(scored2), k, metric), assigned, q, probe1, scored1
     )
+    return attach_query_metrics(out, probe1, scored1, scored2)
 
 
 def lsh_text_query(
@@ -363,4 +422,11 @@ def lsh_text_query(
     )
     # q_buckets + the verify stage's pair cache: released per micro-batch
     # by streaming callers via session.unpersist_intermediates
-    return track_cache(out, q_buckets, verified)
+    out = track_cache(out, q_buckets, verified)
+    # per-query counters (search_metrics_query parity): band-join
+    # candidates == exact Jaccard comparisons in this operator
+    out._clann_query_metrics = cand.groupBy(F.col("query_id")).agg(
+        F.count("*").alias("n_candidates"),
+        F.count("*").alias("n_comparisons"),
+    )
+    return out

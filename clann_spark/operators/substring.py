@@ -80,12 +80,18 @@ def fingerprint_udf(window: int = 64, w: int = 32):
 # ---------------------------------------------------------------------------
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of an int array via prefix-doubling + argsort."""
+def suffix_array(s: np.ndarray, return_levels: bool = False):
+    """Suffix array of an int array via prefix-doubling + argsort.
+
+    return_levels=True also returns [(width, rank_width)] for every
+    doubling level — rank_width[i] ranks the (truncated) substring
+    s[i:i+width]; the levels power the vectorized binary-lifting LCP
+    below (the round-2 Kasai per-char Python loop is gone)."""
     n = s.size
     sa = np.argsort(s, kind="stable")
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.concatenate(([0], np.cumsum(s[sa][1:] != s[sa][:-1])))
+    levels = [(1, rank)]
     k = 1
     tmp = np.empty(n, dtype=np.int64)
     while k < n:
@@ -98,10 +104,37 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         newgrp = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
         tmp[cur] = np.cumsum(newgrp)
         rank = tmp.copy()
+        k <<= 1
+        levels.append((k, rank))
         if rank[sa[-1]] == n - 1:
             break
-        k <<= 1
+    if return_levels:
+        return sa, levels
     return sa
+
+
+def lcp_of_position_pairs(
+    x: np.ndarray, y: np.ndarray, levels: list, n: int
+) -> np.ndarray:
+    """Vectorized LCP of many suffix pairs at once via binary lifting
+    over the prefix-doubling rank levels (descending widths; each width
+    consumed at most once — the binary decomposition of the LCP). All
+    pairs advance together in O(log n) vector steps: this replaces the
+    O(n) interpreted Kasai loop per candidate pair (round-2 VERDICT #8)."""
+    lcp = np.zeros(x.size, dtype=np.int64)
+    for width, rank in reversed(levels):
+        xi = x + lcp
+        yi = y + lcp
+        # full-width in-bounds only: any true common extension of
+        # length >= width keeps both windows in range, so the guard
+        # never under-counts
+        ok = (xi + width <= n) & (yi + width <= n)
+        if not ok.any():
+            continue
+        eq = np.zeros(x.size, dtype=bool)
+        eq[ok] = rank[xi[ok]] == rank[yi[ok]]
+        lcp[eq] += width
+    return lcp
 
 
 def kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -135,14 +168,17 @@ def longest_common_substring_len(a: str, b: str) -> int:
     # the 256 separator never occurs in either byte stream, so no common
     # prefix between an a-suffix and a b-suffix can cross it
     s = np.concatenate((ab, np.array([256], dtype=np.int64), bb))
-    sa = suffix_array(s)
-    lcp = kasai_lcp(s, sa)
+    sa, levels = suffix_array(s, return_levels=True)
     na = ab.size
     own = sa > na  # suffix starts in b (positions na+1..)
     cross = own[1:] != own[:-1]
     if not cross.any():
         return 0
-    return int(lcp[1:][cross].max())
+    # max LCP over adjacent cross-document SA neighbors, all pairs at
+    # once (binary lifting) — no per-character Python loop
+    x = sa[:-1][cross]
+    y = sa[1:][cross]
+    return int(lcp_of_position_pairs(x, y, levels, s.size).max())
 
 
 def substring_pairs(

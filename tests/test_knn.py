@@ -138,3 +138,67 @@ def test_lsh_text_query_finds_near_dups(spark):
         by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["jaccard"], r["rank"]))
     assert by_q[1007][0][0] == 7 and by_q[1007][0][1] > 0.9
     assert 9999 not in by_q  # no bucket collision for unrelated text
+
+
+def test_per_query_metrics_on_ivf_and_lsh(spark, emb_small, tmp_path_factory):
+    """A7/S5 per-query counters (search_metrics_query parity,
+    result_schema.sql:32-75): one row per query with candidate /
+    comparison / rescue counts, persistable as a StageRunner stage."""
+    from clann_spark.metrics import query_metrics
+
+    queries = emb_small.where("vec_id % 50 = 0")
+    centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
+    res = knn_ivf(queries, emb_small, centers, k=5, nprobe=2, brute_force_below=16)
+    res.count()  # the search itself
+    qm = query_metrics(res)
+    assert qm is not None
+    rows = {r["query_id"]: r for r in qm.collect()}
+    assert set(rows) == {r["vec_id"] for r in queries.select("vec_id").collect()}
+    for r in rows.values():
+        assert r["n_probes"] >= 2
+        assert r["n_candidates"] > 0
+        assert r["n_comparisons"] == r["n_candidates"] + r["n_rescued"]
+
+    # persists through the StageRunner like any stage table
+    from clann_spark.sources.stages import StageRunner
+
+    wd = str(tmp_path_factory.mktemp("qm_stage"))
+    runner = StageRunner(spark, wd, DedupConfig(), input_fingerprint="qm-test")
+    committed = runner.stage("query_metrics", lambda: qm)
+    assert committed.count() == len(rows)
+
+    # LSH text-query mode emits per-query counters too
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate words {i % 3} " * 10) for i in range(30)],
+        "doc_id long, text string",
+    )
+    cfg = DedupConfig(signature_impl="fast", hamming_prefilter=None)
+    sigs = compute_signatures(docs, cfg, include_shingles=False).select("doc_id", "bands")
+    q = spark.createDataFrame(
+        [(100, "shared boilerplate words 0 " * 10)], "doc_id long, text string"
+    )
+    out = lsh_text_query(q, sigs, docs, cfg, k=3)
+    out.count()
+    lqm = query_metrics(out).collect()
+    assert len(lqm) == 1 and lqm[0]["n_candidates"] >= 1
+
+
+def test_ivf_quantized_is_exact(spark, emb_small):
+    """P5/P6 consumed in the hot path: int16 fixed-point scoring join +
+    exact float re-score of the provable shortlist must still equal
+    brute force (the rescue/error band absorbs the <=2^-15*(sqrt(d)+1)
+    quantization error)."""
+    queries = emb_small.where("vec_id % 50 = 0")
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb_small, k=5).collect()
+    }
+    centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf(
+            queries, emb_small, centers, k=5, nprobe=2,
+            brute_force_below=16, quantized=True,
+        ).collect()
+    }
+    assert got == exact

@@ -124,3 +124,20 @@ def test_substring_pass_on_planted_fixture(spark):
     want = {tuple(sorted((r["url_a"], r["url_b"]))) for _, r in sub_gt.iterrows()}
     recall = len(found & want) / len(want)
     assert recall >= 0.95, f"substring recall {recall:.3f}"
+
+
+def test_vectorized_lcp_matches_kasai():
+    """Binary-lifting LCP (vectorized) must equal the per-char Kasai
+    reference on random strings, including adjacent-pair extraction."""
+    import numpy as np
+
+    from clann_spark.operators.substring import lcp_of_position_pairs
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        s = rng.integers(0, 4, size=n).astype(np.int64)
+        sa, levels = suffix_array(s, return_levels=True)
+        want = kasai_lcp(s, sa)[1:]
+        got = lcp_of_position_pairs(sa[:-1], sa[1:], levels, n)
+        assert (got == want).all(), (trial, s.tolist())
