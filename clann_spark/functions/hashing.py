@@ -340,6 +340,212 @@ def _fold_stream(H: np.ndarray, offsets: np.ndarray, k: int):
     return sh_hash, sh_off, w_hash, w_uoff
 
 
+def perm_multipliers(cfg: DedupConfig) -> np.ndarray:
+    """Seeded odd 64-bit multipliers — one uint64 bijection per MinHash
+    permutation. Shared by the pandas and Arrow fast paths (identical
+    values = one hash space, HASH_IMPL_VERSION contract)."""
+    return (
+        pd.util.hash_array(
+            np.asarray(
+                [f"perm-{cfg.seed}-{i}" for i in range(cfg.num_perm)], dtype=object
+            ),
+            hash_key=f"{cfg.seed:016d}"[:16],
+        )
+        | np.uint64(1)
+    )
+
+
+def _minhash_from_folds(
+    sh: np.ndarray, sh_off: np.ndarray, mults: np.ndarray, prime: int
+) -> np.ndarray:
+    """(flat uint64 shingle folds, doc offsets) -> (n_docs, num_perm)
+    int64 signatures. Multiply-bijection + np.minimum.reduceat, >>33 so
+    values stay 31-bit (schema parity with the oracle path)."""
+    n_docs = sh_off.size - 1
+    num_perm = mults.size
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if sh.size:
+        # reduceat raises on a start index == len(vals) (an empty
+        # trailing segment); clamp and overwrite via the mask below
+        starts = np.minimum(sh_off[:-1], sh.size - 1)
+        for i in range(num_perm):
+            sig[:, i] = np.minimum.reduceat(sh * mults[i], starts)
+        sig >>= np.uint64(33)
+        empty = sh_off[1:] == sh_off[:-1]
+        if empty.any():
+            sig[empty] = np.uint64(prime)
+    else:
+        sig[:] = np.uint64(prime)
+    return sig.astype(np.int64)
+
+
+def _simhash_from_words(wh_u: np.ndarray, w_off: np.ndarray) -> np.ndarray:
+    """(flat distinct uint64 word hashes, doc offsets) -> (n_docs,)
+    int64 60-bit SimHash fingerprints (majority vote per bit).
+
+    unpackbits on the little-endian byte view: bit j of the hash is
+    column 8*(j//8) + (7 - j%8) — a fixed permutation of columns, i.e.
+    still 64 independent LSH bits (we take 60)."""
+    n_docs = w_off.size - 1
+    simhash = np.zeros(n_docs, dtype=np.int64)
+    if wh_u.size:
+        bits = np.unpackbits(wh_u.view(np.uint8).reshape(-1, 8), axis=1).astype(
+            np.int16
+        )
+        ones = np.add.reduceat(bits, np.minimum(w_off[:-1], wh_u.size - 1), axis=0)
+        counts = (w_off[1:] - w_off[:-1])[:, None]
+        bitvec = (2 * ones.astype(np.int64) >= counts) & (counts > 0)
+        simhash = (
+            bitvec[:, :SIMHASH_BITS].astype(np.int64) << np.arange(SIMHASH_BITS)
+        ).sum(axis=1)
+    return simhash
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native fast path (mapInArrow — zero pandas, zero per-row Python)
+# ---------------------------------------------------------------------------
+
+
+def _list_column_stream(arr) -> tuple[np.ndarray, np.ndarray]:
+    """pyarrow List/LargeList column of int64 -> (flat uint64 value
+    stream, int64 doc offsets) with ZERO per-row work: the Arrow list
+    layout already IS (values buffer, offsets buffer) — we only
+    normalize the slice base. Null entries are not expected (the
+    producing SQL coalesces text to '' so every row is a, possibly
+    empty, array); a null-bearing column raises rather than folding
+    unspecified child values."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("fast signature path requires non-null word-hash arrays")
+    off = np.asarray(arr.offsets, dtype=np.int64)
+    vals = np.asarray(arr.values)
+    H = vals[off[0] : off[-1]].astype(np.int64, copy=False).view(np.uint64)
+    return H, off - off[0]
+
+
+def _list_array_from_segments(values: np.ndarray, offsets: np.ndarray):
+    """(flat int64 values, int64 offsets) -> pyarrow ListArray, built
+    from the buffers directly (no Python lists)."""
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32, copy=False)),
+        pa.array(values.astype(np.int64, copy=False)),
+    )
+
+
+def _compute_fast_signature_arrays(
+    H: np.ndarray, offsets: np.ndarray, cfg: DedupConfig, mults: np.ndarray
+):
+    """Shared compute core of the fast signature path. Input: flat
+    uint64 word-hash stream + doc offsets. Returns dict with sig
+    (n, num_perm) int64, simhash (n,) int64, bands (n, bands) int64,
+    and the per-doc-distinct shingle folds (sh uint64, sh_off)."""
+    sh, sh_off, wh_u, w_off = _fold_stream(H, offsets, cfg.shingle_k)
+    sig = _minhash_from_folds(sh, sh_off, mults, cfg.prime)
+    simhash = _simhash_from_words(wh_u, w_off)
+    bands = np_band_hashes_from_sig(sig, cfg)
+    return {"sig": sig, "simhash": simhash, "bands": bands, "sh": sh, "sh_off": sh_off}
+
+
+def _shingle31_segments(
+    sh: np.ndarray, sh_off: np.ndarray, prime: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc-distinct uint64 shingle folds -> per-doc-distinct 31-bit
+    hashes (>>33 % prime), deduped again per doc (the projection can
+    collide inside a doc), fully vectorized."""
+    hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
+    n_docs = sh_off.size - 1
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sh_off[1:] - sh_off[:-1])
+    order = np.lexsort((hs31, doc_idx))
+    d, v = doc_idx[order], hs31[order]
+    keep = np.ones(d.size, dtype=bool)
+    if d.size:
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    d, v = d[keep], v[keep]
+    return v, np.searchsorted(d, np.arange(n_docs + 1))
+
+
+def fast_signature_arrow(
+    cfg: DedupConfig,
+    passthrough: list[str],
+    include_shingles: bool = True,
+    include_sig: bool = True,
+    wh_col: str = "_wh",
+):
+    """mapInArrow batch function: (passthrough..., _wh array<long>) ->
+    (passthrough..., [shingle_hashes], [sig], simhash, bands).
+
+    The Arrow-native twin of fast_signature_udf — same hash space
+    (HASH_IMPL_VERSION), but the list<int64> word-hash column is read
+    straight from the Arrow buffers (values + offsets) and the outputs
+    are built from flat ndarrays: no Arrow->pandas conversion, no
+    per-row ndarray objects, no Python lists on the way out. This is
+    the round-3 fix for the signature stage's ~14 s/level Arrow
+    boundary term in the N->4N attribution (BASELINE.md)."""
+    import pyarrow as pa
+
+    mults = perm_multipliers(cfg)
+    prime = cfg.prime
+    n_bands = cfg.bands
+
+    def _fn(batches):
+        for batch in batches:
+            H, offsets = _list_column_stream(batch.column(wh_col))
+            r = _compute_fast_signature_arrays(H, offsets, cfg, mults)
+            n = offsets.size - 1
+            arrays = [batch.column(c) for c in passthrough]
+            names = list(passthrough)
+            if include_shingles:
+                v31, off31 = _shingle31_segments(r["sh"], r["sh_off"], prime)
+                arrays.append(_list_array_from_segments(v31, off31))
+                names.append("shingle_hashes")
+            if include_sig:
+                arrays.append(
+                    _list_array_from_segments(
+                        r["sig"].reshape(-1),
+                        np.arange(n + 1, dtype=np.int64) * cfg.num_perm,
+                    )
+                )
+                names.append("sig")
+            arrays.append(pa.array(r["simhash"]))
+            names.append("simhash")
+            arrays.append(
+                _list_array_from_segments(
+                    r["bands"].reshape(-1), np.arange(n + 1, dtype=np.int64) * n_bands
+                )
+            )
+            names.append("bands")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return _fn
+
+
+def fast_shingle_hashes_arrow(cfg: DedupConfig, passthrough: list[str], wh_col: str = "_wh"):
+    """mapInArrow twin of fast_shingle_hashes_udf: (passthrough..., _wh)
+    -> (passthrough..., shingle_hashes array<long>). Used by the verify
+    stage to re-derive candidate shingle sets without the pandas
+    boundary."""
+    import pyarrow as pa
+
+    prime = cfg.prime
+    k = cfg.shingle_k
+
+    def _fn(batches):
+        for batch in batches:
+            H, offsets = _list_column_stream(batch.column(wh_col))
+            sh, sh_off, _, _ = _fold_stream(H, offsets, k)
+            v31, off31 = _shingle31_segments(sh, sh_off, prime)
+            arrays = [batch.column(c) for c in passthrough]
+            arrays.append(_list_array_from_segments(v31, off31))
+            yield pa.RecordBatch.from_arrays(arrays, list(passthrough) + ["shingle_hashes"])
+
+    return _fn
+
+
 def fast_shingle_hashes_udf(cfg: DedupConfig):
     """JVM word hashes (array<long>) -> array<long> distinct 31-bit
     shingle hashes (fast path). Apply to text.word_xxhash_sql(text).
@@ -396,17 +602,7 @@ def fast_signature_udf(
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     prime = cfg.prime
-    k = cfg.shingle_k
-    n_bands, r = cfg.bands, cfg.rows_per_band
-    num_perm = cfg.num_perm
-    # seeded odd multipliers: one uint64 bijection per permutation
-    mults = (
-        pd.util.hash_array(
-            np.asarray([f"perm-{cfg.seed}-{i}" for i in range(num_perm)], dtype=object),
-            hash_key=f"{cfg.seed:016d}"[:16],
-        )
-        | np.uint64(1)
-    )
+    mults = perm_multipliers(cfg)
 
     fields = [
         StructField("simhash", LongType()),
@@ -422,56 +618,14 @@ def fast_signature_udf(
     def _sig(wordsh: pd.Series) -> pd.DataFrame:
         n_docs = len(wordsh)
         H, offsets = _series_word_stream(wordsh)
-        sh, sh_off, wh_u, w_off = _fold_stream(H, offsets, k)
-
-        # MinHash over the uint64 fold hashes: multiply-bijection + min,
-        # then >>33 so sig values stay 31-bit (schema parity with the
-        # oracle path's value range)
-        sig = np.empty((n_docs, num_perm), dtype=np.uint64)
-        if sh.size:
-            # reduceat raises on a start index == len(vals) (an empty
-            # trailing segment); clamp and overwrite via the mask below
-            starts = np.minimum(sh_off[:-1], sh.size - 1)
-            for i in range(num_perm):
-                sig[:, i] = np.minimum.reduceat(sh * mults[i], starts)
-            sig >>= np.uint64(33)
-            empty = sh_off[1:] == sh_off[:-1]
-            if empty.any():
-                sig[empty] = np.uint64(prime)
-        else:
-            sig[:] = np.uint64(prime)
-        sig = sig.astype(np.int64)
-
-        # SimHash (60-bit majority over distinct word hashes);
-        # unpackbits on the little-endian byte view: bit j of the hash
-        # is column 8*(j//8) + (7 - j%8) — a fixed permutation of
-        # columns, i.e. still 64 independent LSH bits (we take 60)
-        simhash = np.zeros(n_docs, dtype=np.int64)
-        if wh_u.size:
-            bits = np.unpackbits(
-                wh_u.view(np.uint8).reshape(-1, 8), axis=1
-            ).astype(np.int16)
-            ones = np.add.reduceat(bits, np.minimum(w_off[:-1], wh_u.size - 1), axis=0)
-            counts = (w_off[1:] - w_off[:-1])[:, None]
-            bitvec = (2 * ones.astype(np.int64) >= counts) & (counts > 0)
-            simhash = (
-                bitvec[:, :SIMHASH_BITS].astype(np.int64) << np.arange(SIMHASH_BITS)
-            ).sum(axis=1)
-
-        # band hashes: fold selected lanes + band index with splitmix
-        # rounds; lane selection dispatches on cfg.hash_source
-        # (independent / pooled / tensored)
-        bands = np_band_hashes_from_sig(sig, cfg)
-
-        out = {"simhash": simhash, "bands": list(bands)}
+        r = _compute_fast_signature_arrays(H, offsets, cfg, mults)
+        out = {"simhash": r["simhash"], "bands": list(r["bands"])}
         if include_sig:
-            out["sig"] = list(sig)
+            out["sig"] = list(r["sig"])
         if include_shingles:
-            hs31 = ((sh >> np.uint64(33)).astype(np.int64)) % prime
-            # per-row slices back to lists (arrow handles ragged arrays)
+            v31, off31 = _shingle31_segments(r["sh"], r["sh_off"], prime)
             out["shingle_hashes"] = [
-                np.unique(hs31[sh_off[d] : sh_off[d + 1]]).tolist()
-                for d in range(n_docs)
+                v31[off31[d] : off31[d + 1]].tolist() for d in range(n_docs)
             ]
         return pd.DataFrame(out)
 

@@ -33,10 +33,12 @@ def compute_signatures(
     text_col: str = "text",
     include_shingles: bool = True,
     include_sig: bool = True,
+    drop_text: bool = False,
 ) -> DataFrame:
     """Append shingle_hashes / sig / bands / simhash to ``df``.
 
-    Keeps every original column. Null text is treated as ''.
+    Keeps every original column (minus ``text_col`` when drop_text).
+    Null text is treated as ''.
 
     include_shingles=False drops the wide shingle-hash array from the
     output (~2.4 KB/row vs ~270 B/row for bands+simhash): the pipeline
@@ -48,23 +50,41 @@ def compute_signatures(
     num_perm-lane signature from the OUTPUT (it is folded into band
     hashes inside the UDF and consumed by nothing downstream) — ~1 KB
     per row less Arrow transfer + cache/shuffle bytes.
+
+    drop_text=True projects the text column away BEFORE the signature
+    op. For the fast (mapInArrow) impl this matters: every retained
+    column crosses the Arrow boundary both ways, and the pipeline
+    discards text after this stage anyway — dropping it first keeps the
+    IPC traffic at doc_id + word hashes instead of doc_id + word hashes
+    + the full document bytes.
     """
     if cfg.signature_impl == "fast":
-        udf = H.fast_signature_udf(
-            cfg, include_shingles=include_shingles, include_sig=include_sig
-        )
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
         # Tokenize + word-hash JVM-side (codegen); only array<bigint>
-        # crosses the Arrow boundary — the UDF never sees text.
+        # crosses the Arrow boundary — Python never sees text.
         wh = F.expr(T.word_xxhash_sql(f"coalesce({text_col}, '')", cfg.seed))
-        out = df.withColumn("_s", udf(wh))
+        src = df.withColumn("_wh", wh)
+        if drop_text:
+            src = src.drop(text_col)
+        passthrough = [f.name for f in src.schema.fields if f.name != "_wh"]
+        out_fields = [f for f in src.schema.fields if f.name != "_wh"]
         if include_shingles:
-            out = out.withColumn("shingle_hashes", F.col("_s.shingle_hashes"))
+            out_fields.append(StructField("shingle_hashes", ArrayType(LongType())))
         if include_sig:
-            out = out.withColumn("sig", F.col("_s.sig"))
-        return (
-            out.withColumn("simhash", F.col("_s.simhash"))
-            .withColumn("bands", F.col("_s.bands"))
-            .drop("_s")
+            out_fields.append(StructField("sig", ArrayType(LongType())))
+        out_fields.append(StructField("simhash", LongType()))
+        out_fields.append(StructField("bands", ArrayType(LongType())))
+        # mapInArrow: the list<int64> word hashes are consumed straight
+        # from the Arrow buffers (values+offsets) and results are built
+        # from flat ndarrays — no pandas conversion in either direction
+        # (the round-3 Arrow-boundary fix, BASELINE.md attribution).
+        return src.mapInArrow(
+            H.fast_signature_arrow(
+                cfg, passthrough, include_shingles=include_shingles,
+                include_sig=include_sig,
+            ),
+            StructType(out_fields),
         )
     if cfg.signature_impl == "pandas":
         udf = H.signature_udf(cfg)
@@ -76,6 +96,8 @@ def compute_signatures(
             .drop("_s")
         )
         out = out.withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
+        if drop_text:
+            out = out.drop(text_col)
         return out if include_shingles else out.drop("shingle_hashes")
 
     txt = f"coalesce({text_col}, '')"
@@ -103,6 +125,8 @@ def compute_signatures(
         .withColumn("simhash", F.expr(H.simhash_sql("_word_hashes")))
         .drop("_words", "_shingles", "_word_hashes")
     )
+    if drop_text:
+        out = out.drop(text_col)
     return out if include_shingles else out.drop("shingle_hashes")
 
 

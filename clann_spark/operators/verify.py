@@ -131,14 +131,24 @@ def verify_pairs_from_text(
     cand_docs = docs.join(F.broadcast(cand_ids) if small else cand_ids, "doc_id")
 
     if cfg.signature_impl == "fast":
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
         from clann_spark.functions import text as T
-        from clann_spark.functions.hashing import fast_shingle_hashes_udf
+        from clann_spark.functions.hashing import fast_shingle_hashes_arrow
 
         # JVM tokenize+hash, then fold in numpy — same hash space as
-        # the signature stage (shared _fold_stream core)
+        # the signature stage (shared _fold_stream core). mapInArrow:
+        # only (doc_id, word hashes) cross the boundary in, and the
+        # ragged shingle arrays come back as raw Arrow buffers.
         wh = F.expr(T.word_xxhash_sql("coalesce(text, '')", cfg.seed))
-        sh = cand_docs.select(
-            "doc_id", fast_shingle_hashes_udf(cfg)(wh).alias("shingle_hashes")
+        sh = cand_docs.select("doc_id", wh.alias("_wh")).mapInArrow(
+            fast_shingle_hashes_arrow(cfg, ["doc_id"]),
+            StructType(
+                [
+                    StructField("doc_id", cand_docs.schema["doc_id"].dataType),
+                    StructField("shingle_hashes", ArrayType(LongType())),
+                ]
+            ),
         )
     else:
         from clann_spark.functions import hashing as H

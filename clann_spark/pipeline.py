@@ -70,10 +70,12 @@ def run_dedup(
     if base.rdd.getNumPartitions() < want:
         base = base.repartition(want * 2)
     # slim signatures: bands + simhash only (~270 B/row); shingle sets
-    # are re-derived for candidate docs at verify time
+    # are re-derived for candidate docs at verify time. drop_text=True
+    # projects text away BEFORE the Arrow stage so the document bytes
+    # never cross the Python boundary.
     sigs = compute_signatures(
-        base, cfg, include_shingles=False, include_sig=False
-    ).drop("text")
+        base, cfg, include_shingles=False, include_sig=False, drop_text=True
+    )
     if persist_signatures:
         sigs = sigs.persist()
 
