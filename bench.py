@@ -71,6 +71,24 @@ def _scaled_docs(spark, factor: int):
     )
 
 
+def _warn_if_thp_active() -> None:
+    """Transparent hugepages make wall clocks on this class of VM swing
+    2-3x between identical runs (khugepaged/kcompactd stalls — measured
+    in rounds 1 and 3, BASELINE.md). The scaling protocol requires
+    `echo never > /sys/kernel/mm/transparent_hugepage/enabled`; warn on
+    stderr (not stdout — the driver parses stdout as JSON) if it is on."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled") as f:
+            if "[never]" not in f.read():
+                print(
+                    "WARNING: transparent hugepages enabled — timings will be "
+                    "noisy (see BASELINE.md scaling protocol)",
+                    file=sys.stderr,
+                )
+    except OSError:
+        pass
+
+
 def one_run(master: str, factor: int) -> float:
     """End-to-end run (JIT-warmed) used by the scaling comparison."""
     from clann_spark.config import DedupConfig
@@ -107,6 +125,7 @@ def main() -> None:
     from clann_spark.session import get_spark
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    _warn_if_thp_active()
     spark = get_spark("bench", master=f"local[{CPUS}]")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n_docs = docs.count()
@@ -206,12 +225,22 @@ def main() -> None:
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_WARM", "1")
         scaling["discipline"] = "warm" if env["SPARK_GRAFT_WARM"] == "1" else "cold"
-        for master, key in ((masters[0], "t_n"), (masters[1], "t_4n")):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
-                capture_output=True, text=True, env=env,
-            )
-            scaling[key] = float(p.stdout.strip().splitlines()[-1])
+        # This VM's wall clocks swing 2-3x with host tenancy (see
+        # BASELINE.md): run the two levels in ALTERNATING reps and take
+        # the min per level, so a noise window hits both levels rather
+        # than aliasing as a scaling difference.
+        reps = int(env.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        runs: dict[str, list[float]] = {"t_n": [], "t_4n": []}
+        for _ in range(reps):
+            for master, key in ((masters[0], "t_n"), (masters[1], "t_4n")):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one-run", master, str(factor)],
+                    capture_output=True, text=True, env=env,
+                )
+                runs[key].append(float(p.stdout.strip().splitlines()[-1]))
+        scaling["t_n"] = min(runs["t_n"])
+        scaling["t_4n"] = min(runs["t_4n"])
+        scaling["reps"] = runs
         scaling["masters"] = masters
         scaling["efficiency_n_to_4n"] = round(scaling["t_n"] / scaling["t_4n"] / 4.0, 3)
         scaling["docs_per_sec_n"] = round(n_scaled / scaling["t_n"], 1)
