@@ -162,7 +162,7 @@ def main() -> None:
     timed("e2e_dedup", lambda: _e2e(spark, docs, cfg_fast))
     timed("e2e_dedup_md5", lambda: _e2e(spark, docs, cfg_oracle))
 
-    sigs = compute_signatures(docs, cfg_fast).drop("text").persist()
+    sigs = compute_signatures(docs, cfg_fast, drop_text=True).persist()
     timed("signatures", lambda: sigs.count())
     cands = candidate_pairs(explode_bands(sigs, cfg_fast), cfg_fast, "auto")
     timed("candidates_verify", lambda: verify_pairs(cands, sigs, cfg_fast).count())

@@ -73,7 +73,7 @@ def _verified_pairs_df(spark, sf_dir) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        sigs = compute_signatures(docs, CFG).drop("text").persist()
+        sigs = compute_signatures(docs, CFG, drop_text=True).persist()
         cands = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
         _PAIRS_CACHE[key] = verify_pairs(cands, sigs, CFG).persist()
     return _PAIRS_CACHE[key]
@@ -208,7 +208,7 @@ def q_simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash fingerprint per document (ref: simhash.hpp:41-45 /
     filterer sketches)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return compute_signatures(docs, CFG).select("doc_id", "simhash")
+    return compute_signatures(docs, CFG, drop_text=True).select("doc_id", "simhash")
 
 
 O_SIMHASH_FINGERPRINTS = f"""
@@ -221,7 +221,7 @@ def q_minhash_sig_stats(spark, sf_dir):
     """Signature checksum per sampled doc (determinism probe: any value
     drift vs the oracle flags a broken hash chain)."""
     docs = _docs(spark, sf_dir).where("doc_id % 10 = 0").select("doc_id", "text")
-    s = compute_signatures(docs, CFG)
+    s = compute_signatures(docs, CFG, drop_text=True)
     return s.select(
         "doc_id",
         F.expr("aggregate(sig, 0L, (acc, x) -> acc + x)").alias("sig_sum"),
@@ -243,7 +243,7 @@ def q_band_bucket_census(spark, sf_dir):
     """LSH bucket-size census (the skew-planner input; SURVEY §4 skew
     row). Output: one row of corpus-level bucket stats."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = compute_signatures(docs, CFG)
+    sigs = compute_signatures(docs, CFG, drop_text=True)
     buckets = explode_bands(sigs, CFG)
     census = buckets.groupBy("band_hash").agg(F.count("*").alias("cnt")).where("cnt >= 2")
     return census.agg(
@@ -454,7 +454,7 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     from clann_spark.operators.simhash_dedup import simhash_near_pairs
 
     docs = _docs(spark, sf_dir).where("doc_id % 2 = 0").select("doc_id", "text")
-    sigs = compute_signatures(docs, CFG).select("doc_id", "simhash")
+    sigs = compute_signatures(docs, CFG, drop_text=True).select("doc_id", "simhash")
     return simhash_near_pairs(sigs, max_hamming=4)
 
 
@@ -761,7 +761,9 @@ def q_lsh_query_top3(spark, sf_dir):
     from clann_spark.operators.signatures import compute_signatures
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = compute_signatures(docs, CFG, include_shingles=False).select("doc_id", "bands")
+    sigs = compute_signatures(docs, CFG, include_shingles=False, drop_text=True).select(
+        "doc_id", "bands"
+    )
     queries = docs.where("doc_id % 100 = 0").select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )

@@ -431,6 +431,13 @@ def _list_array_from_segments(values: np.ndarray, offsets: np.ndarray):
     from the buffers directly (no Python lists)."""
     import pyarrow as pa
 
+    if len(offsets) and offsets[-1] > np.iinfo(np.int32).max:
+        # Spark's ArrayType maps to list<int32-offset>; a silent int32
+        # wrap here would corrupt every list boundary in the batch.
+        raise OverflowError(
+            f"Arrow batch has {offsets[-1]} flat list values (> int32 max); "
+            "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     return pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32, copy=False)),
         pa.array(values.astype(np.int64, copy=False)),

@@ -383,7 +383,9 @@ def lsh_text_query(
     q_sigs = (
         query_sigs
         if query_sigs is not None
-        else compute_signatures(queries, cfg, include_shingles=False, include_sig=False)
+        else compute_signatures(
+            queries, cfg, include_shingles=False, include_sig=False, drop_text=True
+        )
     )
     q_buckets = explode_bands(q_sigs, cfg).withColumnRenamed("doc_id", "query_id")
     c_buckets = explode_bands(corpus_sigs, cfg)

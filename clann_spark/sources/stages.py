@@ -249,8 +249,8 @@ def run_dedup_checkpointed(
     sigs = runner.stage(
         "signatures",
         lambda: compute_signatures(
-            base, cfg, include_shingles=False, include_sig=False
-        ).drop("text"),
+            base, cfg, include_shingles=False, include_sig=False, drop_text=True
+        ),
     )
     buckets = runner.stage("buckets", lambda: explode_bands(sigs, cfg), deps=["signatures"])
     cands = runner.stage(

@@ -169,7 +169,7 @@ def stream_dedup_query(
             return
         batch_df = batch_df.persist()
         q_sigs = compute_signatures(
-            batch_df, cfg, include_shingles=False, include_sig=False
+            batch_df, cfg, include_shingles=False, include_sig=False, drop_text=True
         ).persist()
 
         # intra-batch dedup FIRST: duplicates arriving within one
@@ -212,9 +212,12 @@ def stream_dedup_query(
                 .select(F.col("query_id").alias("doc_id"))
                 .distinct()
             )
-            accepted = q_sigs.select("doc_id", "text", "bands").join(
-                dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti"
-            )
+            # q_sigs is slim (text never crossed the Arrow stage); graft
+            # the original batch text back on for the state table. The
+            # join is batch-scale, not corpus-scale.
+            accepted = batch_df.join(
+                q_sigs.select("doc_id", "bands"), "doc_id"
+            ).join(dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti")
             accepted.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
             _compact_state(spark, state_dir, batch_id, compact_every)
         # release every cache this batch registered (corpus_matches'
