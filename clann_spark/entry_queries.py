@@ -724,6 +724,32 @@ def q_ann_ivf_top5(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank")
 
 
+def q_ann_ivf_q_top5(spark, sf_dir):
+    """Quantized IVF top-5 through the PERSISTED index path (S3/S4 +
+    P5): build_ivf_index(quantized=True) commits the int16 embedding_q
+    column in the assigned stage table (the reference's on-disk dataset
+    is int16, unit_vector.hpp:40-51 / index.rs:511-557), then
+    knn_ivf_index(quantized=True) ships only the slim integer column
+    through the probe join, scores with the JVM integer dot, and
+    exact-rescores the provable shortlist — the result equals brute
+    force, so the exact cosine SQL is the oracle unchanged."""
+    import tempfile
+
+    from clann_spark.operators.ivf_index import build_ivf_index, knn_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where("vec_id % 50 = 0")
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_q")
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = tempfile.mkdtemp(prefix="clann_ivf_q_")
+    idx = build_ivf_index(
+        spark, emb, _PAIRS_CACHE[key], k=8, brute_force_below=16, quantized=True
+    )
+    return knn_ivf_index(queries, idx, k=5, nprobe=2, quantized=True).select(
+        "query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank"
+    )
+
+
 def q_knn_l2_top5(spark, sf_dir):
     """Exact Euclidean top-5 through the IVF + chord/metric rescue path
     (P3, euclideandata.rs:24-45, in query mode): L2 is a true metric so
@@ -841,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_pairs_120": q_substring_pairs,
     "gonzalez_partition_stats": q_gonzalez_partition_stats,
     "ann_ivf_top5": q_ann_ivf_top5,
+    "ann_ivf_q_top5": q_ann_ivf_q_top5,
     "knn_l2_top5": q_knn_l2_top5,
     "lsh_query_top3": q_lsh_query_top3,
 }
@@ -876,6 +903,9 @@ ORACLES: dict[str, str] = {
     "regex_token_stats": O_REGEX_TOKEN_STATS,
     # the rescue round makes IVF exact, so the brute-force SQL IS its oracle
     "ann_ivf_top5": O_KNN_COSINE_TOP5,
+    # quantized scoring keeps the exact contract (provable shortlist
+    # re-scored in float) — same brute-force oracle
+    "ann_ivf_q_top5": O_KNN_COSINE_TOP5,
     "knn_l2_top5": O_KNN_L2_TOP5,
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),

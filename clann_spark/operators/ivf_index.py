@@ -34,11 +34,12 @@ from clann_spark.sources.stages import StageRunner
 
 @dataclass
 class IvfIndex:
-    assigned: DataFrame     # vec_id, embedding, partition_id
+    assigned: DataFrame     # vec_id, embedding, partition_id [, embedding_q]
     centers: np.ndarray     # (k, d)
     radii: np.ndarray       # (k,)
     forced: list[int]       # brute-force-routed partitions (C4)
     metric: str
+    has_quantized: bool = False  # int16 embedding_q persisted alongside
 
 
 def build_ivf_index(
@@ -50,13 +51,21 @@ def build_ivf_index(
     brute_force_below: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> IvfIndex:
     """Partition the corpus and COMMIT the index as stage tables;
     re-running with the same input/config resumes from the checkpoint
-    (the insert+rebuild+serialize build of SURVEY §3.1)."""
+    (the insert+rebuild+serialize build of SURVEY §3.1).
+
+    quantized=True additionally persists the int16 fixed-point column
+    embedding_q in the assigned table — the reference's on-disk dataset
+    IS int16 (unit_vector.hpp:40-51 stored per cluster blob,
+    index.rs:511-557); queries against such an index can score the
+    slim integer column and stay exact (knn.py _make_score_fn)."""
     cfg = DedupConfig()  # banding fields unused; carries seed into lineage
     runner = StageRunner(
-        spark, workdir, cfg, input_fingerprint=f"semhash:{emb.semanticHash()}|{metric}|{k}"
+        spark, workdir, cfg,
+        input_fingerprint=f"semhash:{emb.semanticHash()}|{metric}|{k}|q={int(quantized)}",
     )
 
     centers_path = os.path.join(workdir, "centers.json")
@@ -84,15 +93,20 @@ def build_ivf_index(
             json.dump({"centers": centers.tolist(), **want_fp}, f)
         os.replace(tmp, centers_path)
 
-    assigned = runner.stage(
-        "assigned",
-        lambda: assign_partitions(emb, centers, vec_col, metric=metric).select(
+    def _assigned():
+        cols = [
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             "partition_id",
             "center_dist",
-        ),
-    )
+        ]
+        if quantized:
+            from clann_spark.functions.quantize import quantize_udf
+
+            cols.append(quantize_udf()(F.col(vec_col)).alias("embedding_q"))
+        return assign_partitions(emb, centers, vec_col, metric=metric).select(*cols)
+
+    assigned = runner.stage("assigned", _assigned)
     stats = runner.stage(
         "stats",
         lambda: assigned.groupBy("partition_id").agg(
@@ -131,12 +145,15 @@ def _index_from_tables(assigned, stats, centers, metric, brute_force_below) -> I
         radii[r["partition_id"]] = r["radius"]
         if r["n_points"] < brute_force_below:
             forced.append(int(r["partition_id"]))
+    has_q = "embedding_q" in assigned.columns
+    keep = ["vec_id", "embedding", "partition_id"] + (["embedding_q"] if has_q else [])
     return IvfIndex(
-        assigned=assigned.select("vec_id", "embedding", "partition_id"),
+        assigned=assigned.select(*keep),
         centers=centers,
         radii=radii,
         forced=forced,
         metric=metric,
+        has_quantized=has_q,
     )
 
 
@@ -148,23 +165,56 @@ def knn_ivf_index(
     rescue: bool = True,
     broadcast_limit: int = 4_000_000,
     counters=None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Query a built/loaded index: identical semantics to knn_ivf (probe
     UDF + C4 routing + J6 rescue -> exact when rescue=True) but the
     corpus partitioning comes from the committed table — searching a
-    deserialized index, never rebuilding it."""
-    from clann_spark.operators.knn import _METRICS, _probe_udf, _rescue_udf, _topk
+    deserialized index, never rebuilding it.
+
+    quantized=True requires an index built with quantized=True: the
+    probe join ships the PERSISTED int16 embedding_q column (1/4 the
+    bytes of array<double> — the dominant shuffle at scale), scores
+    with the JVM integer dot, and exact-rescores only the provable
+    shortlist. Results remain exact (equal to brute force)."""
+    from clann_spark.operators.knn import (
+        _METRICS,
+        _make_score_fn,
+        _probe_udf,
+        _rescue_udf,
+        _topk,
+        quantized_cos_epsilon,
+    )
 
     expr, col, desc = _METRICS[index.metric]
+    if quantized and index.metric != "cosine":
+        raise ValueError("quantized scoring is fixed-point cosine only")
+    if quantized and not index.has_quantized:
+        raise ValueError(
+            "index was built without quantized=True (no embedding_q column)"
+        )
     sentinel = -2.0 if index.metric == "cosine" else -1.0
-    assigned = index.assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "partition_id"
-    )
+    assigned_cols = [
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        "partition_id",
+    ]
+    corpus_f = eps2 = None
+    if quantized:
+        assigned_cols[1] = F.col("embedding_q").alias("vb_q")
+        corpus_f = index.assigned.selectExpr("vec_id AS neighbor_id", "embedding AS vb")
+        eps2 = quantized_cos_epsilon(index.centers.shape[1])
+    assigned = index.assigned.select(*assigned_cols)
     acc = counters.acc("center_dist_computations") if counters is not None else None
 
     n_q = queries.count()
     small_q = n_q * (nprobe + len(index.forced)) <= broadcast_limit
-    q = queries.selectExpr("vec_id AS query_id", "embedding AS va").persist()
+    q = queries.selectExpr("vec_id AS query_id", "embedding AS va")
+    if quantized:
+        from clann_spark.functions.quantize import quantize_udf
+
+        q = q.withColumn("va_q", quantize_udf()(F.col("va")))
+    q = q.persist()
     probe1 = q.select(
         "query_id",
         "va",
@@ -174,14 +224,10 @@ def knn_ivf_index(
     ).persist()
     probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
 
-    def _score(probe_x: DataFrame) -> DataFrame:
-        p = F.broadcast(probe_x) if small_q else probe_x
-        return (
-            assigned.join(p, "partition_id")
-            .join(F.broadcast(q) if small_q else q, "query_id")
-            .where("query_id != neighbor_id")
-            .selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
-        )
+    _score = _make_score_fn(
+        assigned, q, small_q, index.metric, k=k,
+        quantized=quantized, corpus_f=corpus_f, eps2=eps2,
+    )
 
     from clann_spark.metrics import attach_query_metrics
     from clann_spark.session import track_cache

@@ -65,3 +65,39 @@ def test_stale_centers_refit_on_config_change(spark, emb, tmp_path_factory):
     assert idx_l2.metric == "euclidean"
     reloaded = load_ivf_index(spark, wd, brute_force_below=16)
     assert reloaded.metric == "euclidean"
+
+
+def test_quantized_index_persists_int16_and_stays_exact(spark, emb, tmp_path_factory):
+    """quantized=True commits embedding_q (int16) in the assigned stage
+    table (the reference stores int16 per cluster blob,
+    unit_vector.hpp:40-51 / index.rs:511-557); a LOADED index answers
+    quantized queries equal to brute force (provable-shortlist exact
+    re-score)."""
+    from pyspark.sql.types import ArrayType, ShortType
+
+    wd = str(tmp_path_factory.mktemp("ivf_q"))
+    idx = build_ivf_index(spark, emb, wd, k=8, brute_force_below=16, quantized=True)
+    assert idx.has_quantized
+    # the int16 column is ON DISK, not recomputed at query time
+    stored = spark.read.parquet(os.path.join(wd, "assigned"))
+    assert isinstance(stored.schema["embedding_q"].dataType, ArrayType)
+    assert isinstance(stored.schema["embedding_q"].dataType.elementType, ShortType)
+
+    queries = emb.where("vec_id % 50 = 0")
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    loaded = load_ivf_index(spark, wd, brute_force_below=16)
+    assert loaded.has_quantized
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf_index(queries, loaded, k=5, nprobe=2, quantized=True).collect()
+    }
+    assert got == exact
+
+    # an index built WITHOUT quantized=True refuses quantized queries
+    wd2 = str(tmp_path_factory.mktemp("ivf_nq"))
+    idx_nq = build_ivf_index(spark, emb, wd2, k=8, brute_force_below=16)
+    with pytest.raises(ValueError, match="embedding_q"):
+        knn_ivf_index(queries, idx_nq, k=5, nprobe=2, quantized=True)

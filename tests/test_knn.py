@@ -202,3 +202,63 @@ def test_ivf_quantized_is_exact(spark, emb_small):
         ).collect()
     }
     assert got == exact
+
+
+def test_probe_rescue_batch_cores_match_naive():
+    """The vectorized probe/rescue cores (round-3 VERDICT item 3) equal
+    a straightforward per-row loop on random input — and run the
+    10^5 x 10^3 shape in array time, not interpreted time."""
+    import time
+
+    import numpy as np
+
+    from clann_spark.operators.clustering import pairwise_distance
+    from clann_spark.operators.knn import _probe_batch, _rescue_batch
+
+    rng = np.random.default_rng(7)
+    n, k_centers, d, nprobe = 300, 40, 16, 4
+    x = rng.normal(size=(n, d))
+    c = rng.normal(size=(k_centers, d))
+    forced = np.array([3, 17, 25], dtype=np.int64)
+
+    got = _probe_batch(x, c, nprobe, forced, "cosine")
+    dist = pairwise_distance(x, c, "cosine")
+    for i in range(n):
+        order = np.argsort(dist[i], kind="stable")[:nprobe]
+        want = [int(p) for p in order]
+        want += [int(p) for p in forced if p not in set(want)]
+        assert got[i] == want, i
+
+    radii = np.abs(rng.normal(size=k_centers)) * 0.3
+    r_bound = np.sqrt(2.0 * np.maximum(radii, 0.0))
+    kth = rng.uniform(-1.5, 1.0, size=n)  # some sentinels (< -1) too
+    probed = [list(map(int, rng.choice(k_centers, size=5, replace=False))) for _ in range(n)]
+    got_r = _rescue_batch(x, c, r_bound, kth, probed, "cosine", 1e-9)
+    d_bound = np.sqrt(2.0 * np.maximum(dist, 0.0))
+    kth_bound = np.sqrt(2.0 * np.maximum(1.0 - kth, 0.0))
+    for i in range(n):
+        seen = set(probed[i])
+        want = [
+            p
+            for p in range(k_centers)
+            if p not in seen
+            and (kth[i] < -1.0 or d_bound[i][p] - r_bound[p] <= kth_bound[i] + 1e-9)
+        ]
+        assert got_r[i] == want, i
+
+    # scale guard: 1e5 queries x 1e3 centers must complete in array time
+    # (the old per-row set/loop path took minutes at this shape)
+    xb = rng.normal(size=(100_000, 8))
+    cb = rng.normal(size=(1_000, 8))
+    t0 = time.monotonic()
+    _probe_batch(xb, cb, nprobe, forced, "cosine")
+    _rescue_batch(
+        xb,
+        cb,
+        np.full(1_000, 0.05),
+        rng.uniform(0.5, 1.0, size=100_000),
+        [[] for _ in range(100_000)],
+        "cosine",
+        1e-9,
+    )
+    assert time.monotonic() - t0 < 60.0
