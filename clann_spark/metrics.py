@@ -83,6 +83,55 @@ def query_metrics(result_df: DataFrame) -> DataFrame | None:
     return getattr(result_df, "_clann_query_metrics", None)
 
 
+def attach_cluster_metrics(out, probe1_x, rescue_df, assigned) -> DataFrame:
+    """Per-CLUSTER search metrics (`search_metrics_cluster` parity,
+    result_schema.sql:77+): one row per corpus partition — points held,
+    queries that probed it in round 1 / the rescue round, and the probe
+    join's candidate rows contributed (n_queries * n_points, counted
+    before the self-pair filter). Lazy; persist beside the per-query
+    rows via StageRunner.stage('cluster_metrics', ...)."""
+    from pyspark.sql import functions as F
+
+    pts = assigned.groupBy("partition_id").agg(F.count("*").alias("n_points"))
+    p1 = probe1_x.groupBy("partition_id").agg(F.count("*").alias("n_queries_probe"))
+    cm = pts.join(p1, "partition_id", "left")
+    if rescue_df is not None:
+        p2 = rescue_df.groupBy("partition_id").agg(
+            F.count("*").alias("n_queries_rescue")
+        )
+        cm = cm.join(p2, "partition_id", "left")
+    else:
+        cm = cm.withColumn("n_queries_rescue", F.lit(None).cast("long"))
+    cm = cm.select(
+        "partition_id",
+        "n_points",
+        F.coalesce("n_queries_probe", F.lit(0)).alias("n_queries_probe"),
+        F.coalesce("n_queries_rescue", F.lit(0)).alias("n_queries_rescue"),
+        (
+            (
+                F.coalesce("n_queries_probe", F.lit(0))
+                + F.coalesce("n_queries_rescue", F.lit(0))
+            )
+            * F.col("n_points")
+        ).alias("n_candidates"),
+    )
+    out._clann_cluster_metrics = cm
+    return out
+
+
+def cluster_metrics(result_df: DataFrame) -> DataFrame | None:
+    """The per-cluster counters DataFrame attached by an IVF search."""
+    return getattr(result_df, "_clann_cluster_metrics", None)
+
+
+def verify_observation(result_df):
+    """The verify-stage Observation attached by lsh_text_query /
+    checkpointed runs: run-level `comparisons` (exact Jaccard
+    evaluations) and `pairs_verified` totals, collected by the plan's
+    own action (A8, performance.hpp:72-80)."""
+    return getattr(result_df, "_clann_verify_observation", None)
+
+
 def metrics_rollup(metrics_df: DataFrame) -> DataFrame:
     """A5 build-metrics rollup (src/utils/metrics/mod.rs:152-185
     analog): per-run totals — stages, rows, wall, summed counters."""

@@ -229,12 +229,13 @@ def knn_ivf_index(
         quantized=quantized, corpus_f=corpus_f, eps2=eps2,
     )
 
-    from clann_spark.metrics import attach_query_metrics
+    from clann_spark.metrics import attach_cluster_metrics, attach_query_metrics
     from clann_spark.session import track_cache
 
     scored1 = _score(probe1_x)
     if not rescue:
         out = track_cache(_topk(scored1, k, index.metric), q, probe1)
+        out = attach_cluster_metrics(out, probe1_x, None, assigned)
         return attach_query_metrics(out, probe1, scored1, None)
 
     scored1 = scored1.persist()
@@ -271,4 +272,5 @@ def knn_ivf_index(
         probe1,
         scored1,
     )
+    out = attach_cluster_metrics(out, probe1_x, rescue_df, assigned)
     return attach_query_metrics(out, probe1, scored1, scored2)

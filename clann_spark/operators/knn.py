@@ -380,12 +380,13 @@ def knn_ivf(
         assigned, q, small_q, metric, k=k, quantized=quantized, corpus_f=corpus_f, eps2=eps2
     )
 
-    from clann_spark.metrics import attach_query_metrics
+    from clann_spark.metrics import attach_cluster_metrics, attach_query_metrics
     from clann_spark.session import track_cache
 
     scored1 = _score(probe1_x)
     if not rescue:
         out = track_cache(_topk(scored1, k, metric), assigned, q, probe1)
+        out = attach_cluster_metrics(out, probe1_x, None, assigned)
         return attach_query_metrics(out, probe1, scored1, None)
 
     scored1 = scored1.persist()
@@ -425,6 +426,7 @@ def knn_ivf(
     out = track_cache(
         _topk(scored1.unionByName(scored2), k, metric), assigned, q, probe1, scored1
     )
+    out = attach_cluster_metrics(out, probe1_x, rescue_df, assigned)
     return attach_query_metrics(out, probe1, scored1, scored2)
 
 
@@ -472,10 +474,33 @@ def lsh_text_query(
         .dropDuplicates(["query_id", "doc_id"])
     )
     pairs = cand.select(F.col("query_id").alias("a"), F.col("doc_id").alias("b"))
+    # J7 sketch prefilter (filterer.hpp:20-32) between candidate
+    # generation and exact verification — applied when both sides carry
+    # the simhash column and the config enables it. n_comparisons below
+    # counts the SURVIVORS (true Jaccard evaluations), n_candidates the
+    # band-join output, so the two diverge exactly when pairs are
+    # prefiltered (search_metrics_query parity).
+    threshold = cfg.hamming_threshold
+    if (
+        threshold is not None
+        and "simhash" in q_sigs.columns
+        and "simhash" in corpus_sigs.columns
+    ):
+        from clann_spark.operators.verify import prefilter_pairs_by_simhash
+
+        sim_union = corpus_sigs.select("doc_id", "simhash").unionByName(
+            q_sigs.select("doc_id", "simhash")
+        )
+        pairs = prefilter_pairs_by_simhash(pairs, sim_union, threshold)
     docs_union = corpus_docs.select("doc_id", "text").unionByName(
         queries.select("doc_id", "text")
     )
-    verified = verify_pairs_from_text(pairs, docs_union, cfg, keep_below_tau=True)
+    from pyspark.sql import Observation
+
+    verify_obs = Observation()
+    verified = verify_pairs_from_text(
+        pairs, docs_union, cfg, keep_below_tau=True, observation=verify_obs
+    )
     w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
     from clann_spark.session import track_cache
 
@@ -492,10 +517,19 @@ def lsh_text_query(
     # q_buckets + the verify stage's pair cache: released per micro-batch
     # by streaming callers via session.unpersist_intermediates
     out = track_cache(out, q_buckets, verified)
-    # per-query counters (search_metrics_query parity): band-join
-    # candidates == exact Jaccard comparisons in this operator
-    out._clann_query_metrics = cand.groupBy(F.col("query_id")).agg(
-        F.count("*").alias("n_candidates"),
-        F.count("*").alias("n_comparisons"),
+    # per-query counters (search_metrics_query parity,
+    # result_schema.sql:32-75): n_candidates = band-join output,
+    # n_comparisons = exact Jaccard evaluations actually run (post-
+    # prefilter survivors); the run-level totals are also observable on
+    # the plan itself via verify_observation(out).
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    n_comp = pairs.groupBy(F.col("a").alias("query_id")).agg(
+        F.count("*").alias("n_comparisons")
     )
+    out._clann_query_metrics = n_cand.join(n_comp, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.coalesce("n_comparisons", F.lit(0)).alias("n_comparisons"),
+    )
+    out._clann_verify_observation = verify_obs
     return out

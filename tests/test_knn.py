@@ -262,3 +262,86 @@ def test_probe_rescue_batch_cores_match_naive():
         1e-9,
     )
     assert time.monotonic() - t0 < 60.0
+
+
+def test_lsh_query_true_comparison_counts_with_prefilter(spark):
+    """round-3 VERDICT item 4: n_comparisons counts the exact Jaccard
+    evaluations actually run, NOT the band-join candidates — with the
+    J7 simhash prefilter enabled the two diverge, and the run-level
+    Observation totals agree with the per-query sum."""
+    from clann_spark.metrics import query_metrics, verify_observation
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base)], "doc_id long, text string"
+    )
+    # query shares nearly all shingles with the corpus (band collision)
+    # but a changed word flips simhash bits -> Hamming > 0
+    q = spark.createDataFrame(
+        [(100, base.replace("tok100", "OMEGA"))], "doc_id long, text string"
+    )
+    cfg = DedupConfig(signature_impl="fast", hamming_prefilter=0)
+    sigs = compute_signatures(docs, cfg, include_shingles=False, drop_text=True).select(
+        "doc_id", "bands", "simhash"
+    )
+    out = lsh_text_query(q, sigs, docs, cfg, k=3)
+    n_out = out.count()
+    qm = query_metrics(out).collect()
+    assert len(qm) == 1
+    r = qm[0]
+    assert r["n_candidates"] >= 1  # band join found the near-identical docs
+    assert r["n_comparisons"] == 0  # Hamming-0 prefilter dropped them all
+    assert n_out == 0
+    obs = verify_observation(out)
+    assert obs.get["comparisons"] == 0
+
+    # prefilter off: every candidate is verified, counts coincide
+    cfg_off = DedupConfig(signature_impl="fast", hamming_prefilter=None)
+    sigs_off = compute_signatures(
+        docs, cfg_off, include_shingles=False, drop_text=True
+    ).select("doc_id", "bands", "simhash")
+    out2 = lsh_text_query(q, sigs_off, docs, cfg_off, k=3)
+    out2.count()
+    r2 = query_metrics(out2).collect()[0]
+    assert r2["n_comparisons"] == r2["n_candidates"] >= 1
+    assert verify_observation(out2).get["comparisons"] == r2["n_comparisons"]
+
+
+def test_per_cluster_metrics_on_ivf(spark, emb_small, tmp_path_factory):
+    """round-3 VERDICT item 7: per-CLUSTER search metrics
+    (search_metrics_cluster parity, result_schema.sql:77+) — one row
+    per partition with probe/rescue query counts and candidate rows,
+    persistable beside the per-query rows."""
+    from clann_spark.metrics import cluster_metrics, query_metrics
+
+    queries = emb_small.where("vec_id % 50 = 0")
+    centers = fit_partitioner(emb_small, "embedding", id_col="vec_id", k=8)
+    res = knn_ivf(queries, emb_small, centers, k=5, nprobe=2, brute_force_below=16)
+    res.count()
+    cm = cluster_metrics(res)
+    assert cm is not None
+    rows = cm.collect()
+    assert {r["partition_id"] for r in rows} == set(range(8))
+    n_q = queries.count()
+    total_probe = sum(r["n_queries_probe"] for r in rows)
+    assert total_probe >= n_q * 2  # nprobe=2 + forced routing
+    for r in rows:
+        assert r["n_candidates"] == (
+            (r["n_queries_probe"] + r["n_queries_rescue"]) * r["n_points"]
+        )
+
+    # cross-check against the per-query rows: candidate totals agree
+    # (cluster side counts self-pairs the per-query side filters)
+    qrows = query_metrics(res).collect()
+    per_query_total = sum(r["n_candidates"] + r["n_rescued"] for r in qrows)
+    cluster_total = sum(r["n_candidates"] for r in rows)
+    self_pairs = total_probe  # at most one self-hit per (query, probe)
+    assert per_query_total <= cluster_total <= per_query_total + self_pairs
+
+    # persists through the StageRunner beside query_metrics
+    from clann_spark.sources.stages import StageRunner
+
+    wd = str(tmp_path_factory.mktemp("cm_stage"))
+    runner = StageRunner(spark, wd, DedupConfig(), input_fingerprint="cm-test")
+    committed = runner.stage("cluster_metrics", lambda: cm)
+    assert committed.count() == 8
