@@ -36,49 +36,56 @@ growing with stream lifetime.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clann_spark.config import DedupConfig
+from clann_spark.sources.fs import fs_for
 
 STATE_SCHEMA = "doc_id long, text string, bands array<bigint>"
 
 
-def _state_parts(state_dir: str, before_batch: int) -> list[str]:
+def _state_parts(spark: SparkSession, state_dir: str, before_batch: int) -> list[str]:
     """Committed state directories covering batches < before_batch:
     the newest base-<upto> (upto <= before_batch) plus every
-    batch=<id> with upto <= id < before_batch."""
-    if not os.path.isdir(state_dir):
+    batch=<id> with upto <= id < before_batch.
+
+    All listing/exists checks go through fs_for — os/shutil for plain
+    local paths, the JVM Hadoop FileSystem API for any URI scheme
+    (file://, hdfs://, s3a://), so the state dir can live wherever the
+    stream's sink does."""
+    fs = fs_for(spark, state_dir)
+    if not fs.isdir(state_dir):
         return []
+    names = fs.listdir(state_dir)
     bases = sorted(
         int(d.split("-")[1])
-        for d in os.listdir(state_dir)
+        for d in names
         if d.startswith("base-")
         and int(d.split("-")[1]) <= before_batch
-        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+        and fs.exists(os.path.join(state_dir, d, "_SUCCESS"))
     )
     upto = bases[-1] if bases else 0
     parts = [os.path.join(state_dir, f"base-{upto}")] if bases else []
     parts += [
         os.path.join(state_dir, d)
-        for d in sorted(os.listdir(state_dir))
+        for d in sorted(names)
         if d.startswith("batch=")
         and upto <= int(d.split("=")[1]) < before_batch
-        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+        and fs.exists(os.path.join(state_dir, d, "_SUCCESS"))
     ]
     return parts
 
 
 def _read_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame | None:
-    parts = _state_parts(state_dir, before_batch)
+    parts = _state_parts(spark, state_dir, before_batch)
     if not parts:
         return None
     return spark.read.schema(STATE_SCHEMA).parquet(*parts)
 
 
-def _check_state_meta(state_dir: str, cfg: DedupConfig) -> None:
+def _check_state_meta(spark: SparkSession, state_dir: str, cfg: DedupConfig) -> None:
     """Guard the state layout against hash-space drift: band values
     written by a different fast-path HASH_IMPL_VERSION (or another
     config) never collide with the current one, so a stale state dir
@@ -87,11 +94,11 @@ def _check_state_meta(state_dir: str, cfg: DedupConfig) -> None:
 
     from clann_spark.sources.stages import _config_fingerprint
 
+    fs = fs_for(spark, state_dir)
     meta_path = os.path.join(state_dir, "_meta.json")
     want = {"config_fingerprint": _config_fingerprint(cfg)}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            have = json.load(f)
+    if fs.exists(meta_path):
+        have = json.loads(fs.read_text(meta_path))
         if have != want:
             raise ValueError(
                 f"streaming state at {state_dir} was written under a different "
@@ -99,9 +106,8 @@ def _check_state_meta(state_dir: str, cfg: DedupConfig) -> None:
                 "state_dir (and checkpoint) to rebuild, or run the old config"
             )
         return
-    os.makedirs(state_dir, exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(want, f)
+    fs.mkdirs(state_dir)
+    fs.write_text(meta_path, json.dumps(want))
 
 
 def _compact_state(
@@ -115,20 +121,21 @@ def _compact_state(
     readers pick the newest committed base, so a crash between write
     and cleanup leaves a consistent (merely redundant) layout.
 
-    Local-filesystem implementation (os/shutil); on HDFS/S3 the same
-    two-phase shape runs through the Hadoop FileSystem API."""
+    Filesystem ops route through fs_for: os/shutil locally, the JVM
+    Hadoop FileSystem API for any URI scheme (HDFS/S3/file://)."""
+    fs = fs_for(spark, state_dir)
     target = os.path.join(state_dir, f"base-{batch_id}")
-    parts = _state_parts(state_dir, batch_id)
+    parts = _state_parts(spark, state_dir, batch_id)
     n_batch_dirs = sum("batch=" in p for p in parts)
     if n_batch_dirs < compact_every:
         return
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+    if not fs.exists(os.path.join(target, "_SUCCESS")):
         df = spark.read.schema(STATE_SCHEMA).parquet(*parts)
         df.write.mode("overwrite").parquet(target)
     # cleanup: everything the new base covers
     for p in parts:
-        if os.path.abspath(p) != os.path.abspath(target):
-            shutil.rmtree(p, ignore_errors=True)
+        if not fs.same_path(p, target):
+            fs.delete_recursive(p)
 
 
 def stream_dedup_query(
@@ -161,7 +168,7 @@ def stream_dedup_query(
 
     schema = "doc_id long, text string"
     if state_dir:
-        _check_state_meta(state_dir, cfg)
+        _check_state_meta(spark, state_dir, cfg)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

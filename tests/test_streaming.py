@@ -124,16 +124,22 @@ def test_intra_batch_duplicates_are_caught(spark, corpus, tmp_path_factory):
     assert st == {7001, 7003}, st
 
 
-def test_state_compaction_bounds_fanin(spark, corpus, tmp_path_factory):
+@pytest.mark.parametrize("state_scheme", ["", "file://"])
+def test_state_compaction_bounds_fanin(spark, corpus, tmp_path_factory, state_scheme):
     """~8 micro-batches with compact_every=3: batch dirs get folded
     into base-<upto> dirs, the read fan-in stays bounded, and the full
-    accepted-doc set is preserved across compactions."""
+    accepted-doc set is preserved across compactions.
+
+    Parameterized over a plain local path (os/shutil fast path) and a
+    file:// URI — the latter drives every maintenance op through the
+    JVM Hadoop FileSystem API (sources/fs.py HadoopFs), the code path
+    HDFS/S3 state dirs take (round-3 VERDICT item 5)."""
     from clann_spark.streaming.incremental import _state_parts
 
     docs, sigs = corpus
     base = str(tmp_path_factory.mktemp("stream_compact"))
     in_dir, out_dir, ckpt, state = (
-        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/state"
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{state_scheme}{base}/state"
     )
     os.makedirs(in_dir)
     n_batches = 8
@@ -150,7 +156,7 @@ def test_state_compaction_bounds_fanin(spark, corpus, tmp_path_factory):
         q.awaitTermination(120)
 
     # fan-in bound: at most compact_every batch dirs + 1 base dir
-    parts = _state_parts(state, n_batches + 1)
+    parts = _state_parts(spark, state, n_batches + 1)
     assert sum("batch=" in p for p in parts) <= 3
     assert any("base-" in p for p in parts)
     # every accepted doc survives compaction
