@@ -166,6 +166,7 @@ def knn_ivf_index(
     broadcast_limit: int = 4_000_000,
     counters=None,
     quantized: bool = False,
+    probe_salts: int = 8,
 ) -> DataFrame:
     """Query a built/loaded index: identical semantics to knn_ivf (probe
     UDF + C4 routing + J6 rescue -> exact when rescue=True) but the
@@ -226,7 +227,7 @@ def knn_ivf_index(
 
     _score = _make_score_fn(
         assigned, q, small_q, index.metric, k=k,
-        quantized=quantized, corpus_f=corpus_f, eps2=eps2,
+        quantized=quantized, corpus_f=corpus_f, eps2=eps2, probe_salts=probe_salts,
     )
 
     from clann_spark.metrics import attach_cluster_metrics, attach_query_metrics

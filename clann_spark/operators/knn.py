@@ -223,6 +223,7 @@ def _make_score_fn(
     quantized: bool = False,
     corpus_f: DataFrame | None = None,
     eps2: float | None = None,
+    probe_salts: int = 8,
 ):
     """Build the candidate-scoring closure shared by knn_ivf and
     knn_ivf_index: (query_id, partition_id) probe rows -> exact scores.
@@ -231,15 +232,33 @@ def _make_score_fn(
     (COS_I16_SQL), then exact-rescored only the provable shortlist
     (rank <= k or within eps2 of the kth quantized score) from the
     float corpus_f side — results stay exact (unit_vector.hpp:40-51 +
-    math.hpp integer dot, re-expressed as a two-phase join)."""
+    math.hpp integer dot, re-expressed as a two-phase join).
+
+    Skew: when the probe side is too big to broadcast the join
+    shuffles BOTH sides by partition_id, and one hot IVF cell (a dense
+    region holding a large corpus fraction) serializes onto a single
+    reducer. probe_salts > 1 salts the corpus rows by hash(neighbor_id)
+    and replicates each probe row across all salts, bounding any
+    reducer at ~1/probe_salts of the hot cell — the pair set is
+    unchanged (each corpus row carries exactly one salt). The broadcast
+    path needs no salting (no corpus shuffle at all)."""
     expr, col, _ = _METRICS[metric]
+    salted = (not small_q) and probe_salts > 1
 
     def _score(probe_x: DataFrame) -> DataFrame:
-        p = F.broadcast(probe_x) if small_q else probe_x
-        cand = (
-            assigned.join(p, "partition_id")
-            .join(F.broadcast(q) if small_q else q, "query_id")
-            .where("query_id != neighbor_id")
+        if salted:
+            a = assigned.withColumn(
+                "_salt", F.pmod(F.hash("neighbor_id"), F.lit(probe_salts))
+            )
+            p = probe_x.withColumn(
+                "_salt", F.explode(F.array([F.lit(i) for i in range(probe_salts)]))
+            )
+            joined = a.join(p, ["partition_id", "_salt"]).drop("_salt")
+        else:
+            p = F.broadcast(probe_x) if small_q else probe_x
+            joined = assigned.join(p, "partition_id")
+        cand = joined.join(F.broadcast(q) if small_q else q, "query_id").where(
+            "query_id != neighbor_id"
         )
         if not quantized:
             return cand.selectExpr("query_id", "neighbor_id", f"{expr} AS {col}")
@@ -283,6 +302,7 @@ def knn_ivf(
     counters=None,
     metric: str = "cosine",
     quantized: bool = False,
+    probe_salts: int = 8,
 ) -> DataFrame:
     """IVF k-NN: corpus pre-partitioned by nearest Gonzalez center; each
     query probes its nprobe nearest partitions, then a single RESCUE
@@ -377,7 +397,8 @@ def knn_ivf(
     probe1_x = probe1.select("query_id", F.explode("pids").alias("partition_id"))
 
     _score = _make_score_fn(
-        assigned, q, small_q, metric, k=k, quantized=quantized, corpus_f=corpus_f, eps2=eps2
+        assigned, q, small_q, metric, k=k, quantized=quantized,
+        corpus_f=corpus_f, eps2=eps2, probe_salts=probe_salts,
     )
 
     from clann_spark.metrics import attach_cluster_metrics, attach_query_metrics

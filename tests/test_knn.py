@@ -345,3 +345,63 @@ def test_per_cluster_metrics_on_ivf(spark, emb_small, tmp_path_factory):
     runner = StageRunner(spark, wd, DedupConfig(), input_fingerprint="cm-test")
     committed = runner.stage("cluster_metrics", lambda: cm)
     assert committed.count() == 8
+
+
+def test_probe_join_salting_bounds_hot_cell(spark):
+    """round-3 VERDICT item 8: one hot IVF cell (80% of the corpus in a
+    dense blob) with a non-broadcastable probe side. The salted
+    shuffle join must (a) split the hot partition_id key into
+    probe_salts balanced sub-groups — no reducer sees more than ~2x
+    hot/probe_salts rows — and (b) leave the result exactly equal to
+    brute force (each corpus row carries exactly one salt)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(loc=5.0, scale=0.05, size=(400, 8))   # dense blob
+    rest = rng.normal(scale=3.0, size=(100, 8))
+    vecs = np.vstack([hot, rest])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = emb.where("vec_id % 25 = 0")
+    centers = fit_partitioner(emb, "embedding", id_col="vec_id", k=6)
+
+    # the skew is real: one partition holds >= 70% of the corpus
+    from clann_spark.operators.clustering import assign_partitions
+
+    assigned = assign_partitions(emb, centers, "embedding").cache()
+    sizes = {r["partition_id"]: r["count"] for r in assigned.groupBy("partition_id").count().collect()}
+    hot_pid, hot_n = max(sizes.items(), key=lambda kv: kv[1])
+    assert hot_n >= 0.7 * len(vecs), sizes
+
+    # salted sub-groups are balanced (the per-reducer bound)
+    n_salts = 8
+    salted = assigned.withColumn("_salt", F.pmod(F.hash("vec_id"), F.lit(n_salts)))
+    grp = salted.groupBy("partition_id", "_salt").count()
+    max_grp = grp.agg(F.max("count")).collect()[0][0]
+    assert max_grp <= 2 * hot_n / n_salts + 1, (max_grp, hot_n)
+
+    # broadcast_limit=0 forces the salted shuffle join; result is exact
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf(
+            queries, emb, centers, k=5, nprobe=2, brute_force_below=16,
+            broadcast_limit=0, probe_salts=n_salts,
+        ).collect()
+    }
+    assert got == exact
+
+    # quantized shuffle path through the same salting: still exact
+    got_q = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf(
+            queries, emb, centers, k=5, nprobe=2, brute_force_below=16,
+            broadcast_limit=0, probe_salts=n_salts, quantized=True,
+        ).collect()
+    }
+    assert got_q == exact
