@@ -10,7 +10,11 @@ Extra modes:
   SPARK_GRAFT_SCALING=1  also run the identical job in two fresh
       subprocesses at N and 4N cores (local[2] vs local[8], the
       sandbox stand-in for N vs 4N executors per BASELINE.md) and
-      report throughputs + scaling efficiency (T_n/T_4n)/4.
+      report throughputs + scaling efficiency (T_n/T_4n)/4. A no-Spark
+      substrate control runs FIRST and gates the whole mode: when the
+      host's own 2->8-process ceiling is < SPARK_GRAFT_CONTROL_GATE
+      (default 0.9), no engine efficiency is recorded.
+  --control  run ONLY the substrate control and print its JSON.
   (internal) --one-run MASTER  run one e2e pass and print seconds.
 """
 
@@ -87,6 +91,81 @@ def _warn_if_thp_active() -> None:
                 )
     except OSError:
         pass
+
+
+def _control_task(args):
+    """One fixed-size work unit for the substrate control (no Spark).
+
+    compute: L2-resident multiply+min loop (the signature kernel's
+    shape); bandwidth: 16 MB stream copies (the shuffle/cache shape).
+    Total work is FIXED across parallelism levels — the control
+    measures the host, not the code.
+    """
+    import numpy as np
+
+    kind, seed = args
+    rng = np.random.default_rng(seed)
+    if kind == "compute":
+        a = rng.random(32_768)  # 256 KB, L2-resident
+        b = rng.random(32_768)
+        acc = np.full_like(a, np.inf)
+        for _ in range(8_000):
+            np.minimum(a * b, acc, out=acc)
+        return float(acc[0])
+    a = rng.random(2_000_000)  # 16 MB stream
+    s = 0.0
+    for _ in range(200):
+        c = a.copy()
+        s += float(c[-1])
+    return s
+
+
+def substrate_control(reps: int = 3, procs_pair: tuple[int, int] = (2, 8)) -> dict:
+    """No-Spark N->4N ceiling of THIS host, measured around the Spark
+    timings (BASELINE.md round 3: a degraded shared host caps 2->8-core
+    scaling of plain NumPy loops at 0.57-0.78; round 2's same control
+    measured 1.06; round 4 additionally observed the host OSCILLATING
+    between 0.97 and <0.7 on a minutes timescale). Fixed total work
+    (32 tasks) over n vs 4n processes, alternating reps, min per level.
+    The scaling protocol REFUSES to record an engine efficiency number
+    for any N/4N pair not bracketed by passing controls (gate, don't
+    caveat)."""
+    import multiprocessing as mp
+
+    lo, hi = procs_pair
+    out: dict = {"procs_pair": [lo, hi]}
+    for kind in ("compute", "bandwidth"):
+        walls: dict[int, list[float]] = {lo: [], hi: []}
+        tasks = [(kind, i) for i in range(32)]
+        for _ in range(reps):
+            for procs in (lo, hi):
+                with mp.Pool(procs) as pool:
+                    t0 = time.time()
+                    pool.map(_control_task, tasks, chunksize=1)
+                    walls[procs].append(round(time.time() - t0, 3))
+        out[kind] = {
+            "t_n": walls[lo],
+            "t_4n": walls[hi],
+            "efficiency": round(min(walls[lo]) / min(walls[hi]) / (hi / lo), 3),
+        }
+    # Gate on the COMPUTE control: DRAM bandwidth is shared by design
+    # on a single box (8 streams can never scale 4x over 2 here), so
+    # the bandwidth row is diagnostic context, not the gate. The
+    # compute row measures whether 4n vCPUs deliver 4x the work of n —
+    # exactly what the engine's strong-scaling pair needs from the host
+    # (a capable window measures ~1.0; round-3's degraded windows
+    # measured 0.57-0.78).
+    out["efficiency"] = out["compute"]["efficiency"]
+    return out
+
+
+def _master_cores(master: str) -> int:
+    """Total executor cores of a local/local-cluster master string."""
+    spec = master[master.find("[") + 1 : master.find("]")]
+    if "," in spec:  # local-cluster[workers,coresPerWorker,memMB]
+        w, c = spec.split(",")[:2]
+        return int(w) * int(c)
+    return 32 if spec == "*" else int(spec)
 
 
 def one_run(master: str, factor: int) -> float:
@@ -219,18 +298,49 @@ def main() -> None:
             "SPARK_GRAFT_SCALING_MASTERS",
             "local-cluster[1,2,8192];local-cluster[4,2,8192]",
         ).split(";")
+        procs_pair = (_master_cores(masters[0]), _master_cores(masters[1]))
+        # GATE: measure the host's own no-Spark n->4n-process ceiling
+        # FIRST, at the same core counts the engine pair will use. If
+        # the substrate can't scale (shared-host throttling, BASELINE.md
+        # round 3), recording an engine efficiency would alias host
+        # noise as engine behavior — refuse instead.
+        gate = float(os.environ.get("SPARK_GRAFT_CONTROL_GATE", "0.9"))
+        control = substrate_control(
+            reps=int(os.environ.get("SPARK_GRAFT_CONTROL_REPS", "3")),
+            procs_pair=procs_pair,
+        )
+        scaling["substrate_control"] = control
+        scaling["control_gate"] = gate
+        if control["efficiency"] < gate and not os.environ.get(
+            "SPARK_GRAFT_SCALING_FORCE"
+        ):
+            scaling["efficiency_n_to_4n"] = None
+            scaling["gated"] = (
+                f"substrate control {control['efficiency']} < gate {gate}: "
+                "host cannot evidence engine scaling in this window; see "
+                "BASELINE.md 'Scaling efficiency' for the structural "
+                "fallback (per-stage table + plan-identity pins). Re-run "
+                "in a quiet window or set SPARK_GRAFT_SCALING_FORCE=1."
+            )
+            out["scaling"] = scaling
+            print(json.dumps(out))
+            return
         # warm (steady-state) discipline by default: each level times
         # the second full pass after clearCache — cold-JIT constants
         # otherwise dominate the 4N level (BASELINE.md)
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_WARM", "1")
         scaling["discipline"] = "warm" if env["SPARK_GRAFT_WARM"] == "1" else "cold"
-        # This VM's wall clocks swing 2-3x with host tenancy (see
-        # BASELINE.md): run the two levels in ALTERNATING reps and take
-        # the min per level, so a noise window hits both levels rather
-        # than aliasing as a scaling difference.
+        # This VM's wall clocks swing 2-3x with host tenancy AND the
+        # quiet/degraded state flips on a minutes timescale (round 4
+        # watched the control pass at 0.97, then an identical engine
+        # run 3 minutes later take 2.6x longer). So: ALTERNATING
+        # adjacent (t_n, t_4n) pairs, each BRACKETED by a 1-rep
+        # substrate control; only pairs whose both surrounding controls
+        # pass the gate are recorded as clean evidence.
         reps = int(env.get("SPARK_GRAFT_SCALING_REPS", "2"))
         runs: dict[str, list[float]] = {"t_n": [], "t_4n": []}
+        controls = [control["efficiency"]]
         for _ in range(reps):
             for master, key in ((masters[0], "t_n"), (masters[1], "t_4n")):
                 p = subprocess.run(
@@ -238,11 +348,44 @@ def main() -> None:
                     capture_output=True, text=True, env=env,
                 )
                 runs[key].append(float(p.stdout.strip().splitlines()[-1]))
+            controls.append(
+                substrate_control(reps=1, procs_pair=procs_pair)["efficiency"]
+            )
         scaling["t_n"] = min(runs["t_n"])
         scaling["t_4n"] = min(runs["t_4n"])
         scaling["reps"] = runs
         scaling["masters"] = masters
-        scaling["efficiency_n_to_4n"] = round(scaling["t_n"] / scaling["t_4n"] / 4.0, 3)
+        scaling["bracketing_controls"] = controls
+        # adjacent-in-time pairs: each rep's N run is immediately
+        # followed by its 4N run, so per-rep ratios can't pair a quiet
+        # t_n with a quiet t_4n from a different tenancy window
+        adj = [
+            round(tn / t4 / 4.0, 3)
+            for tn, t4 in zip(runs["t_n"], runs["t_4n"])
+        ]
+        scaling["adjacent_pair_efficiencies"] = adj
+        clean = [
+            adj[i]
+            for i in range(len(adj))
+            if controls[i] >= gate and controls[i + 1] >= gate
+        ]
+        scaling["clean_pair_efficiencies"] = clean
+        if clean:
+            # median of clean pairs is the headline; the min-based
+            # aggregate stays for continuity with rounds 1-3
+            clean_sorted = sorted(clean)
+            scaling["efficiency_n_to_4n"] = clean_sorted[len(clean_sorted) // 2]
+            scaling["efficiency_min_based"] = round(
+                scaling["t_n"] / scaling["t_4n"] / 4.0, 3
+            )
+        else:
+            scaling["efficiency_n_to_4n"] = None
+            scaling["gated"] = (
+                "no N/4N pair was bracketed by two passing substrate "
+                f"controls (controls: {controls}, gate {gate}) — host "
+                "degraded mid-protocol; engine walls recorded above for "
+                "context only."
+            )
         scaling["docs_per_sec_n"] = round(n_scaled / scaling["t_n"], 1)
         scaling["docs_per_sec_4n"] = round(n_scaled / scaling["t_4n"], 1)
         out["scaling"] = scaling
@@ -253,5 +396,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--one-run":
         print(one_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 20))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--control":
+        print(json.dumps(substrate_control()))
     else:
         main()
