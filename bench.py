@@ -168,6 +168,84 @@ def _master_cores(master: str) -> int:
     return 32 if spec == "*" else int(spec)
 
 
+def _clean_pair_efficiencies(
+    adj: list[float], controls: list[float], gate: float
+) -> list[float]:
+    """Adjacent-pair efficiencies whose bracketing substrate controls
+    (controls[i] before pair i, controls[i+1] after) BOTH pass the
+    gate — the only pairs measured in a continuously-capable host
+    window."""
+    return [
+        adj[i]
+        for i in range(len(adj))
+        if controls[i] >= gate and controls[i + 1] >= gate
+    ]
+
+
+def stage_run(master: str, factor: int) -> dict:
+    """Per-stage wall attribution of the e2e dedup job (the structural
+    scaling evidence: run at two masters, compare per-stage ratios).
+    Warm discipline: one full untimed pass, clearCache, then each stage
+    timed at a persist+count barrier. Prints ONE JSON line."""
+    from clann_spark.config import DedupConfig
+    from clann_spark.operators.candidates import candidate_pairs
+    from clann_spark.operators.connected_components import connected_components
+    from clann_spark.operators.signatures import compute_signatures, explode_bands
+    from clann_spark.operators.verify import (
+        prefilter_pairs_by_simhash,
+        verify_pairs_from_text,
+    )
+    from clann_spark.session import get_spark
+
+    spark = get_spark("bench-stages", master=master)
+    cfg = DedupConfig(signature_impl="fast")
+    docs = _scaled_docs(spark, factor).persist()
+    n = docs.count()
+    _e2e(spark, docs, cfg)  # full warm pass (JIT + shuffle machinery)
+    spark.catalog.clearCache()
+    docs = docs.persist()
+    docs.count()
+
+    stages: dict[str, float] = {"master": master, "n_docs": n}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        r = thunk()
+        stages[name] = round(time.time() - t0, 2)
+        return r
+
+    sigs = compute_signatures(
+        docs, cfg, include_shingles=False, include_sig=False, drop_text=True
+    ).persist()
+    timed("signatures", sigs.count)
+    cands = candidate_pairs(explode_bands(sigs, cfg), cfg, "auto").persist()
+    timed("candidates", cands.count)
+    pre = prefilter_pairs_by_simhash(cands, sigs, cfg.hamming_threshold).persist()
+    timed("prefilter", pre.count)
+    verified = verify_pairs_from_text(pre, docs, cfg).persist()
+    timed("verify", verified.count)
+    clusters = connected_components(verified)
+    timed("cc", clusters.count)
+    from pyspark.sql import functions as F
+
+    assignments = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    timed(
+        "assign_summary",
+        lambda: assignments.agg(
+            F.count("*"), F.countDistinct("cluster_id")
+        ).collect(),
+    )
+    stages["stage_sum"] = round(
+        sum(v for k, v in stages.items() if isinstance(v, float)), 2
+    )
+    spark.stop()
+    return stages
+
+
 def one_run(master: str, factor: int) -> float:
     """End-to-end run (JIT-warmed) used by the scaling comparison."""
     from clann_spark.config import DedupConfig
@@ -364,11 +442,7 @@ def main() -> None:
             for tn, t4 in zip(runs["t_n"], runs["t_4n"])
         ]
         scaling["adjacent_pair_efficiencies"] = adj
-        clean = [
-            adj[i]
-            for i in range(len(adj))
-            if controls[i] >= gate and controls[i + 1] >= gate
-        ]
+        clean = _clean_pair_efficiencies(adj, controls, gate)
         scaling["clean_pair_efficiencies"] = clean
         if clean:
             # median of clean pairs is the headline; the min-based
@@ -398,5 +472,9 @@ if __name__ == "__main__":
         print(one_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 20))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--control":
         print(json.dumps(substrate_control()))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--stages":
+        print(json.dumps(
+            stage_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 400)
+        ))
     else:
         main()
