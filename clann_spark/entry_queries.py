@@ -837,6 +837,68 @@ SELECT a, b, (max(run) + 119)::BIGINT AS lcs_len FROM rl GROUP BY a, b
 """
 
 
+def q_streaming_dup_clusters(spark, sf_dir):
+    """Incremental dedup as a Structured Streaming job, oracle-checked
+    against the BATCH cluster oracle: the documents table arrives as 3
+    parquet micro-batches (doc_id % 3, maxFilesPerTrigger=1) into an
+    empty corpus in ARCHIVE mode (every doc joins the state, duplicates
+    included), so each verified pair (a, b) is discovered exactly once
+    — when its later member arrives. Connected components over the
+    streamed match edges therefore equal the batch pipeline's clusters
+    regardless of arrival order (reference lifecycle:
+    libpuffinn collection.hpp:218-222 insert + :241-306 rebuild,
+    re-expressed as append-only bucket state; proof + the transitive-
+    chain counterexample for filtering mode: tests/test_streaming.py)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from clann_spark.streaming.incremental import stream_dedup_query
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="clann_stream_row_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        stage = os.path.join(tmp, f"stage{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(in_dir, f"b{i}.parquet"),
+        )
+    empty_sigs = spark.createDataFrame([], "doc_id long, bands array<bigint>")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out_dir = os.path.join(tmp, "out")
+    q = stream_dedup_query(
+        spark,
+        in_dir,
+        empty_sigs,
+        empty_docs,
+        CFG,
+        out_dir,
+        os.path.join(tmp, "ckpt"),
+        k=1_000_000,  # archive mode: no edge truncation (see docstring)
+        state_dir=os.path.join(tmp, "state"),
+        accept_duplicates=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    matches = spark.read.option("basePath", out_dir).parquet(out_dir)
+    edges = matches.where(F.col("jaccard") >= CFG.tau).select(
+        F.col("query_id").alias("a"), F.col("doc_id").alias("b")
+    )
+    out = connected_components(edges).persist()
+    out.count()  # materialize before the caller collects (tmp is scratch)
+    return out
+
+
+# the streamed archive-mode clusters equal the batch clusters exactly
+O_STREAMING_DUP_CLUSTERS = O_DUP_CLUSTERS
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -870,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_q_top5": q_ann_ivf_q_top5,
     "knn_l2_top5": q_knn_l2_top5,
     "lsh_query_top3": q_lsh_query_top3,
+    "streaming_dup_clusters": q_streaming_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -909,6 +972,7 @@ ORACLES: dict[str, str] = {
     "knn_l2_top5": O_KNN_L2_TOP5,
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),
+    "streaming_dup_clusters": O_STREAMING_DUP_CLUSTERS,
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,
     "media_pipeline_stats": O_MEDIA_PIPELINE_STATS,
 }

@@ -150,6 +150,8 @@ def stream_dedup_query(
     available_now: bool = True,
     state_dir: str | None = None,
     compact_every: int = 16,
+    accept_duplicates: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """Start (and by default drain-and-stop) the incremental-dedup
     stream: parquet page batches in input_dir -> top-k near-dup matches
@@ -159,6 +161,18 @@ def stream_dedup_query(
     state and later batches dedup against them too. Returns the
     StreamingQuery. available_now=True processes everything currently
     in input_dir and stops (batch catch-up); False runs continuously.
+
+    accept_duplicates=True is ARCHIVE mode: every doc joins the state,
+    duplicates included (building a dup-map over an archive instead of
+    filtering an incoming feed). Because each arriving doc is then
+    matched against ALL earlier docs, every verified pair (a, b) is
+    discovered exactly once — when its later member arrives — so, with
+    k at least the largest cluster size, connected components over the
+    streamed match edges equal the batch pipeline's clusters REGARDLESS
+    of arrival order (the filtering default can split transitive
+    chains whose hub is rejected from state before a spoke arrives).
+    max_files_per_trigger caps files per micro-batch (file-source
+    option), pinning a deterministic batch split for tests/oracles.
     """
     from clann_spark.operators.candidates import candidate_pairs
     from clann_spark.operators.knn import lsh_text_query
@@ -169,7 +183,10 @@ def stream_dedup_query(
     schema = "doc_id long, text string"
     if state_dir:
         _check_state_meta(spark, state_dir, cfg)
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -214,17 +231,19 @@ def stream_dedup_query(
         matches.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
         if state_dir:
-            dup_ids = (
-                matches.where(F.col("jaccard") >= cfg.tau)
-                .select(F.col("query_id").alias("doc_id"))
-                .distinct()
-            )
             # q_sigs is slim (text never crossed the Arrow stage); graft
             # the original batch text back on for the state table. The
             # join is batch-scale, not corpus-scale.
-            accepted = batch_df.join(
-                q_sigs.select("doc_id", "bands"), "doc_id"
-            ).join(dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti")
+            accepted = batch_df.join(q_sigs.select("doc_id", "bands"), "doc_id")
+            if not accept_duplicates:
+                dup_ids = (
+                    matches.where(F.col("jaccard") >= cfg.tau)
+                    .select(F.col("query_id").alias("doc_id"))
+                    .distinct()
+                )
+                accepted = accepted.join(
+                    dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti"
+                )
             accepted.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
             _compact_state(spark, state_dir, batch_id, compact_every)
         # release every cache this batch registered (corpus_matches'

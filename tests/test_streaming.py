@@ -164,3 +164,61 @@ def test_state_compaction_bounds_fanin(spark, corpus, tmp_path_factory, state_sc
 
     st = _read_state(spark, state, n_batches + 1)
     assert {r["doc_id"] for r in st.collect()} == {8000 + i for i in range(n_batches)}
+
+
+def test_archive_mode_matches_batch_clusters_on_transitive_chain(
+    spark, tmp_path_factory
+):
+    """ARCHIVE mode (accept_duplicates=True) reproduces the batch
+    pipeline's clusters on the adversarial case for incremental dedup:
+    a transitive chain A-B-C (J(A,B) >= tau, J(B,C) >= tau,
+    J(A,C) < tau) arriving hub-first. The filtering default rejects B
+    from state after matching A, so C finds nothing and the chain
+    splits — the documented trade-off the archive mode exists for."""
+    from clann_spark.functions.text import py_shingles
+    from clann_spark.operators.connected_components import connected_components
+    from pyspark.sql import functions as F
+
+    y = [f"w{i}" for i in range(30, 190)]          # 160 shared words
+    a_text = " ".join([f"w{i}" for i in range(30)] + y)
+    b_text = " ".join(y)
+    c_text = " ".join(y + [f"w{i}" for i in range(200, 230)])
+
+    def jac(t1, t2):
+        s1, s2 = set(py_shingles(t1, CFG.shingle_k)), set(py_shingles(t2, CFG.shingle_k))
+        return len(s1 & s2) / len(s1 | s2)
+
+    assert jac(a_text, b_text) >= CFG.tau
+    assert jac(b_text, c_text) >= CFG.tau
+    assert jac(a_text, c_text) < CFG.tau  # the chain is genuinely transitive
+
+    def run(mode_archive: bool):
+        base = str(tmp_path_factory.mktemp(f"stream_arch_{mode_archive}"))
+        in_dir = f"{base}/in"
+        os.makedirs(in_dir)
+        # hub-first arrival order: A, then B (the bridge), then C
+        for i, text in enumerate([a_text, b_text, c_text]):
+            _write_batch(spark, in_dir, [(i + 1, text)])
+        empty_sigs = spark.createDataFrame([], "doc_id long, bands array<bigint>")
+        empty_docs = spark.createDataFrame([], "doc_id long, text string")
+        q = stream_dedup_query(
+            spark, in_dir, empty_sigs, empty_docs, CFG,
+            f"{base}/out", f"{base}/ckpt",
+            k=1000, state_dir=f"{base}/state",
+            accept_duplicates=mode_archive, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        edges = (
+            spark.read.option("basePath", f"{base}/out").parquet(f"{base}/out")
+            .where(F.col("jaccard") >= CFG.tau)
+            .select(F.col("query_id").alias("a"), F.col("doc_id").alias("b"))
+        )
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(edges).collect()
+        }
+
+    # batch ground truth: pairs (1,2) and (2,3) -> one cluster rooted at 1
+    assert run(True) == {(1, 1), (2, 1), (3, 1)}
+    # filtering mode splits the chain: B rejected from state, C orphaned
+    assert run(False) == {(1, 1), (2, 1)}
