@@ -823,6 +823,63 @@ FROM r WHERE rank <= 3
 """
 
 
+#: explicit J7 threshold for the metrics row (not 'auto'): the oracle
+#: must model the same filter, so the knob is pinned, not planner-derived.
+#: The banding is deliberately PERMISSIVE (2 rows/band -> collisions at
+#: moderate similarity): under the flagship config every band candidate
+#: is a near-identical doc (Hamming distance 0) and the prefilter would
+#: never fire — this config surfaces hd≈6 candidates that threshold 4
+#: genuinely drops, so n_comparisons < n_candidates on real rows.
+QM_CFG = dict(num_perm=64, bands=32, rows_per_band=2, hamming_prefilter=4)
+
+
+def q_lsh_query_metrics(spark, sf_dir):
+    """Per-QUERY search counters of the incremental-dedup query mode,
+    read from the engine's own metrics attachment (A7/A8:
+    search_metrics_query parity, result_schema.sql:32-75; the
+    performance.hpp:72-80 counter read back via puffinn.rs:133-141).
+    The J7 sketch prefilter is ON with a pinned threshold, so
+    n_candidates (band-join output) and n_comparisons (exact Jaccard
+    evaluations actually run) genuinely diverge; the oracle replays the
+    band join and the 60-bit Hamming filter in SQL."""
+    from clann_spark.metrics import query_metrics
+    from clann_spark.operators.knn import lsh_text_query
+    from clann_spark.operators.signatures import compute_signatures
+
+    cfg = DedupConfig(**QM_CFG)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = compute_signatures(docs, cfg, include_shingles=False, drop_text=True).select(
+        "doc_id", "bands", "simhash"
+    )
+    queries = docs.where("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return query_metrics(lsh_text_query(queries, sigs, docs, cfg, k=3))
+
+
+def _o_lsh_query_metrics() -> str:
+    qcfg = DedupConfig(**QM_CFG)
+    sh = OQ.duck_shingle_hashes(OQ.duck_shingles("text", qcfg.shingle_k))
+    wh = OQ.duck_word_hashes("text")
+    return f"""
+WITH w AS (SELECT doc_id, {sh} AS hs, {wh} AS whs FROM documents),
+s AS (SELECT doc_id, {OQ.duck_minhash('hs', qcfg)} AS sig,
+             {OQ.duck_simhash('whs')} AS sim FROM w),
+b AS (SELECT doc_id, sim, unnest({OQ.duck_bands('sig', qcfg)}) AS band_hash FROM s),
+qw AS (SELECT doc_id + 1000000 AS query_id, {sh} AS hs, {wh} AS whs
+       FROM documents WHERE doc_id % 20 = 0),
+qs AS (SELECT query_id, {OQ.duck_minhash('hs', qcfg)} AS sig,
+              {OQ.duck_simhash('whs')} AS sim FROM qw),
+qb AS (SELECT query_id, sim, unnest({OQ.duck_bands('sig', qcfg)}) AS band_hash FROM qs),
+cand AS (SELECT DISTINCT q.query_id, c.doc_id, q.sim AS qsim, c.sim AS csim
+         FROM qb q JOIN b c USING (band_hash) WHERE q.query_id <> c.doc_id)
+SELECT query_id, count(*) AS n_candidates,
+       count(*) FILTER (WHERE bit_count(xor(qsim, csim)) <= {qcfg.hamming_threshold})
+         AS n_comparisons
+FROM cand GROUP BY query_id
+"""
+
+
 O_SUBSTRING_PAIRS_120 = """
 WITH g AS (SELECT doc_id, unnest(range(1, len(text) - 119 + 1)) AS i, text
            FROM documents WHERE len(text) >= 120),
@@ -932,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_q_top5": q_ann_ivf_q_top5,
     "knn_l2_top5": q_knn_l2_top5,
     "lsh_query_top3": q_lsh_query_top3,
+    "lsh_query_metrics": q_lsh_query_metrics,
     "streaming_dup_clusters": q_streaming_dup_clusters,
 }
 
@@ -972,6 +1030,7 @@ ORACLES: dict[str, str] = {
     "knn_l2_top5": O_KNN_L2_TOP5,
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),
+    "lsh_query_metrics": _o_lsh_query_metrics(),
     "streaming_dup_clusters": O_STREAMING_DUP_CLUSTERS,
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,
     "media_pipeline_stats": O_MEDIA_PIPELINE_STATS,
