@@ -523,7 +523,13 @@ def q_embedding_lsh_cp_pairs(spark, sf_dir):
     from clann_spark.planner import plan_cp_banding
 
     emb = _emb(spark, sf_dir).where("vec_id % 5 = 0")
-    dim = len(emb.select("embedding").first()[0])
+    # planner needs the embedding dim; peek one value from the parquet
+    # footer-adjacent first batch on the driver instead of launching a
+    # Spark job for a single row
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]))[0][0])
     plan = plan_cp_banding(0.4, dim=dim, target_recall=0.99999, max_funcs=512)
     return embedding_lsh_pairs(
         emb,
@@ -880,6 +886,95 @@ FROM cand GROUP BY query_id
 """
 
 
+def q_ivf_cluster_metrics(spark, sf_dir):
+    """Per-CLUSTER search counters of an IVF run read from the engine's
+    metrics attachment (search_metrics_cluster parity,
+    result_schema.sql:77+): points held, round-1/rescue queries, and
+    candidate rows contributed. The oracle replays the ENTIRE probe
+    protocol in SQL — Gonzalez centers (id-ordered sample), nearest-2
+    probe + brute-force-below-16 forced routing, round-1 kth-best
+    cosine, and the J6 chord-space triangle bound (index.rs:342-361)
+    deciding the rescue set."""
+    from clann_spark.metrics import cluster_metrics
+    from clann_spark.operators.clustering import fit_partitioner
+    from clann_spark.operators.knn import knn_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where("vec_id % 50 = 0")
+    centers = fit_partitioner(
+        emb, "embedding", id_col="vec_id", k=8, sample_order="id"
+    )
+    res = knn_ivf(queries, emb, centers, k=5, nprobe=2, brute_force_below=16)
+    return cluster_metrics(res).select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        "n_points",
+        "n_queries_probe",
+        "n_queries_rescue",
+        "n_candidates",
+    )
+
+
+def _o_ivf_cluster_metrics() -> str:
+    cosdist = OQ.duck_cosdist("q.v", "c.v")
+    cos_qa = (
+        "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * a.v[i])) / "
+        "(sqrt(list_sum(list_transform(q.v, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(a.v, x -> x * x))))"
+    )
+    return f"""
+WITH pts AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{OQ.duck_gonzalez_ctes(8)},
+ad AS (SELECT p.vec_id, c.cid, {OQ.duck_cosdist('p.v', 'c.v')} AS d
+       FROM pts p CROSS JOIN centers c),
+amin AS (SELECT vec_id, cid, d, ROW_NUMBER() OVER
+         (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM ad),
+asg AS MATERIALIZED (SELECT vec_id, cid, d FROM amin WHERE rn = 1),
+stats AS MATERIALIZED (SELECT cid, count(*) AS n_points, max(d) AS radius FROM asg GROUP BY cid),
+forced AS (SELECT cid FROM stats WHERE n_points < 16),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v FROM pts WHERE vec_id % 50 = 0),
+qd AS MATERIALIZED (SELECT q.query_id, c.cid, {cosdist} AS d FROM q CROSS JOIN centers c),
+qrank AS (SELECT query_id, cid, d, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn FROM qd),
+probe AS MATERIALIZED (SELECT DISTINCT query_id, cid FROM (
+            SELECT query_id, cid FROM qrank WHERE rn <= 2
+            UNION ALL
+            SELECT q.query_id, f.cid FROM q CROSS JOIN forced f)),
+cand1 AS (SELECT p.query_id, a.vec_id AS nid, {cos_qa} AS cos
+          FROM probe p
+          JOIN asg ag ON ag.cid = p.cid
+          JOIN pts a ON a.vec_id = ag.vec_id
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id <> p.query_id),
+r1 AS (SELECT query_id, cos, ROW_NUMBER() OVER
+       (PARTITION BY query_id ORDER BY cos DESC, nid ASC) AS rk FROM cand1),
+kth AS (SELECT query_id,
+          CASE WHEN count(*) >= 5
+               THEN min(cos) FILTER (WHERE rk <= 5)
+               ELSE -2.0 END AS kth
+        FROM r1 GROUP BY query_id),
+resc AS (SELECT qd.query_id, qd.cid
+         FROM qd
+         LEFT JOIN kth ON kth.query_id = qd.query_id
+         LEFT JOIN stats s ON s.cid = qd.cid
+         WHERE NOT EXISTS (SELECT 1 FROM probe p
+                           WHERE p.query_id = qd.query_id AND p.cid = qd.cid)
+           AND (coalesce(kth.kth, -2.0) < -1.0
+                OR sqrt(2 * greatest(qd.d, 0)) -
+                   sqrt(2 * greatest(coalesce(s.radius, 0), 0))
+                   <= sqrt(2 * greatest(1 - coalesce(kth.kth, -2.0), 0)) + 1e-9)),
+pm AS (SELECT cid, count(*) AS n FROM probe GROUP BY cid),
+rm AS (SELECT cid, count(*) AS n FROM resc GROUP BY cid)
+SELECT s.cid::BIGINT AS partition_id, s.n_points,
+       coalesce(pm.n, 0)::BIGINT AS n_queries_probe,
+       coalesce(rm.n, 0)::BIGINT AS n_queries_rescue,
+       ((coalesce(pm.n, 0) + coalesce(rm.n, 0)) * s.n_points)::BIGINT
+         AS n_candidates
+FROM stats s
+LEFT JOIN pm ON pm.cid = s.cid
+LEFT JOIN rm ON rm.cid = s.cid
+"""
+
+
 O_SUBSTRING_PAIRS_120 = """
 WITH g AS (SELECT doc_id, unnest(range(1, len(text) - 119 + 1)) AS i, text
            FROM documents WHERE len(text) >= 120),
@@ -990,6 +1085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_l2_top5": q_knn_l2_top5,
     "lsh_query_top3": q_lsh_query_top3,
     "lsh_query_metrics": q_lsh_query_metrics,
+    "ivf_cluster_metrics": q_ivf_cluster_metrics,
     "streaming_dup_clusters": q_streaming_dup_clusters,
 }
 
@@ -1031,6 +1127,7 @@ ORACLES: dict[str, str] = {
     "gonzalez_partition_stats": _o_gonzalez_partition_stats(),
     "lsh_query_top3": _o_lsh_query_top3(),
     "lsh_query_metrics": _o_lsh_query_metrics(),
+    "ivf_cluster_metrics": _o_ivf_cluster_metrics(),
     "streaming_dup_clusters": O_STREAMING_DUP_CLUSTERS,
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,
     "media_pipeline_stats": O_MEDIA_PIPELINE_STATS,

@@ -50,7 +50,7 @@ def quantize_udf():
     def _q(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         return pd.Series(list(np_quantize_unit(x)))
 
     return _q

@@ -152,9 +152,9 @@ def assign_partitions(
 
     @F.pandas_udf(schema)
     def _assign(vecs: pd.Series) -> pd.DataFrame:
-        x = np.array([list(v) for v in vecs], dtype=np.float64)
-        if x.size == 0:
+        if len(vecs) == 0:
             return pd.DataFrame({"partition_id": [], "center_dist": []})
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         d = pairwise_distance(x, c, metric)
         pid = d.argmin(axis=1)
         return pd.DataFrame(

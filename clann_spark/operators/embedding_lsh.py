@@ -56,7 +56,7 @@ def hyperplane_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 4
     def _bands(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
         vals = (bits * weights).sum(axis=2)
         return pd.Series(list(vals))
@@ -79,7 +79,7 @@ def crosspolytope_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int 
     def _bands(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
             len(x), bands, rows_per_band
         )
@@ -161,8 +161,8 @@ def embedding_lsh_pairs(
         def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
             if len(va) == 0:
                 return pd.Series([], dtype=np.float64)
-            x = np.array([list(v) for v in va], dtype=np.float64)
-            y = np.array([list(v) for v in vb], dtype=np.float64)
+            x = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+            y = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
             num = (x * y).sum(axis=1)
             den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
             return pd.Series(num / np.maximum(den, 1e-300))
