@@ -159,13 +159,29 @@ def substrate_control(reps: int = 3, procs_pair: tuple[int, int] = (2, 8)) -> di
     return out
 
 
+def _counted(df):
+    """Materialize a DataFrame and return it (stage-timing helper)."""
+    df.count()
+    return df
+
+
 def _master_cores(master: str) -> int:
-    """Total executor cores of a local/local-cluster master string."""
+    """Total executor cores of a local/local-cluster master string.
+
+    Masters without a [n] spec (spark://, yarn) don't carry a core
+    count — require SPARK_GRAFT_CONTROL_PROCS (\"n,4n\") instead of
+    guessing."""
+    if "[" not in master or "]" not in master:
+        raise ValueError(
+            f"cannot infer core count from master {master!r}; set "
+            "SPARK_GRAFT_CONTROL_PROCS=n,4n to the executor-core totals "
+            "for the substrate control"
+        )
     spec = master[master.find("[") + 1 : master.find("]")]
     if "," in spec:  # local-cluster[workers,coresPerWorker,memMB]
         w, c = spec.split(",")[:2]
         return int(w) * int(c)
-    return 32 if spec == "*" else int(spec)
+    return (os.cpu_count() or 32) if spec == "*" else int(spec)
 
 
 def _clean_pair_efficiencies(
@@ -218,14 +234,27 @@ def stage_run(master: str, factor: int) -> dict:
         docs, cfg, include_shingles=False, include_sig=False, drop_text=True
     ).persist()
     timed("signatures", sigs.count)
-    cands = candidate_pairs(explode_bands(sigs, cfg), cfg, "auto").persist()
-    timed("candidates", cands.count)
-    pre = prefilter_pairs_by_simhash(cands, sigs, cfg.hamming_threshold).persist()
-    timed("prefilter", pre.count)
-    verified = verify_pairs_from_text(pre, docs, cfg).persist()
-    timed("verify", verified.count)
-    clusters = connected_components(verified)
-    timed("cc", clusters.count)
+
+    # operator CONSTRUCTION must happen inside the timed thunk:
+    # candidate_pairs runs its census count eagerly at call time and
+    # connected_components resolves small graphs on the driver at call
+    # time — timing only .count() would attribute that work to no stage
+    def _cands():
+        c = candidate_pairs(explode_bands(sigs, cfg), cfg, "auto").persist()
+        c.count()
+        return c
+
+    cands = timed("candidates", _cands)
+    pre = timed(
+        "prefilter",
+        lambda: _counted(
+            prefilter_pairs_by_simhash(cands, sigs, cfg.hamming_threshold).persist()
+        ),
+    )
+    verified = timed(
+        "verify", lambda: _counted(verify_pairs_from_text(pre, docs, cfg).persist())
+    )
+    clusters = timed("cc", lambda: _counted(connected_components(verified)))
     from pyspark.sql import functions as F
 
     assignments = (
@@ -379,10 +408,11 @@ def main() -> None:
 
 def _base_doc_count() -> int:
     """Row count of the base documents table without starting Spark
-    (the scaling protocol must run before any JVM exists)."""
-    import pyarrow.parquet as pq
+    (the scaling protocol must run before any JVM exists). dataset()
+    handles both a single parquet file and a part-file directory."""
+    import pyarrow.dataset as pads
 
-    return pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    return pads.dataset(f"{SF_DIR}/documents.parquet", format="parquet").count_rows()
 
 
 def scaling_protocol(n_docs: int) -> dict:
@@ -405,7 +435,12 @@ def scaling_protocol(n_docs: int) -> dict:
         "SPARK_GRAFT_SCALING_MASTERS",
         "local-cluster[1,2,8192];local-cluster[4,2,8192]",
     ).split(";")
-    procs_pair = (_master_cores(masters[0]), _master_cores(masters[1]))
+    procs_override = os.environ.get("SPARK_GRAFT_CONTROL_PROCS")
+    procs_pair = (
+        tuple(int(p) for p in procs_override.split(","))
+        if procs_override
+        else (_master_cores(masters[0]), _master_cores(masters[1]))
+    )
     # GATE: measure the host's own no-Spark n->4n-process ceiling
     # FIRST, at the same core counts the engine pair will use. If
     # the substrate can't scale (shared-host throttling, BASELINE.md
@@ -418,9 +453,9 @@ def scaling_protocol(n_docs: int) -> dict:
     )
     scaling["substrate_control"] = control
     scaling["control_gate"] = gate
-    if control["efficiency"] < gate and not os.environ.get(
+    if control["efficiency"] < gate and os.environ.get(
         "SPARK_GRAFT_SCALING_FORCE"
-    ):
+    ) != "1":
         scaling["efficiency_n_to_4n"] = None
         scaling["gated"] = (
             f"substrate control {control['efficiency']} < gate {gate}: "
@@ -464,8 +499,9 @@ def scaling_protocol(n_docs: int) -> dict:
     # adjacent-in-time pairs: each rep's N run is immediately
     # followed by its 4N run, so per-rep ratios can't pair a quiet
     # t_n with a quiet t_4n from a different tenancy window
+    ratio = procs_pair[1] / procs_pair[0]
     adj = [
-        round(tn / t4 / 4.0, 3)
+        round(tn / t4 / ratio, 3)
         for tn, t4 in zip(runs["t_n"], runs["t_4n"])
     ]
     scaling["adjacent_pair_efficiencies"] = adj
@@ -477,7 +513,7 @@ def scaling_protocol(n_docs: int) -> dict:
         clean_sorted = sorted(clean)
         scaling["efficiency_n_to_4n"] = clean_sorted[len(clean_sorted) // 2]
         scaling["efficiency_min_based"] = round(
-            scaling["t_n"] / scaling["t_4n"] / 4.0, 3
+            scaling["t_n"] / scaling["t_4n"] / ratio, 3
         )
     else:
         scaling["efficiency_n_to_4n"] = None

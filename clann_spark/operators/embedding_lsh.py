@@ -42,21 +42,27 @@ COS_SQL = (
 )
 
 
-def hyperplane_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     """embedding -> array<long> of b band values (r packed sign bits
-    each). The Gaussian plane matrix is drawn once from a seeded RNG on
-    the driver and shipped in the closure — every executor, retry and
-    cluster size sees identical planes (simhash.hpp:17-23 sampling,
-    made deterministic)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bands * rows_per_band))
+    each). The Gaussian plane matrix is drawn lazily from the FIRST
+    Arrow batch's dim with a fixed seed — every executor, retry and
+    cluster size derives identical planes (simhash.hpp:17-23 sampling,
+    made deterministic) and the caller never runs a driver-side job
+    just to learn the embedding dim."""
     weights = (1 << np.arange(rows_per_band, dtype=np.int64))[None, None, :]
+    state: dict = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def _bands(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        planes = state.get("planes")
+        if planes is None or planes.shape[0] != x.shape[1]:
+            planes = np.random.default_rng(seed).standard_normal(
+                (x.shape[1], bands * rows_per_band)
+            )
+            state["planes"] = planes
         bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
         vals = (bits * weights).sum(axis=2)
         return pd.Series(list(vals))
@@ -64,22 +70,28 @@ def hyperplane_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 4
     return _bands
 
 
-def crosspolytope_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     """embedding -> array<long> of b band values, each a splitmix fold
     of r cross-polytope codes (H6, crosspolytope.hpp:121-209 — three
     ±1-diagonal x FHT rounds, argmax-axis+sign encoding). One CP
     function carries log2(2*dpad) bits, so bands need far fewer
-    functions than hyperplane bands at equal selectivity."""
+    functions than hyperplane bands at equal selectivity. Diagonals
+    are derived lazily from the first batch's dim (seeded — identical
+    on every executor), like hyperplane_bands_udf."""
     from clann_spark.functions.crosspolytope import cp_codes, cp_diagonals, next_pow2
     from clann_spark.functions.hashing import _splitmix_step
 
-    diagonals = cp_diagonals(bands * rows_per_band, next_pow2(dim), seed)
+    state: dict = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def _bands(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        diagonals = state.get("diag")
+        if diagonals is None or state.get("dim") != x.shape[1]:
+            diagonals = cp_diagonals(bands * rows_per_band, next_pow2(x.shape[1]), seed)
+            state["diag"], state["dim"] = diagonals, x.shape[1]
         codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
             len(x), bands, rows_per_band
         )
@@ -105,11 +117,10 @@ def embedding_buckets(
     rows, shaped exactly like signatures.explode_bands output so the
     candidate machinery is shared. hash_family: 'hyperplane' (H1 over
     vectors) or 'crosspolytope' (H6)."""
-    dim = len(emb.select(vec_col).first()[0])
     if hash_family == "crosspolytope":
-        udf = crosspolytope_bands_udf(dim, bands, rows_per_band, seed)
+        udf = crosspolytope_bands_udf(bands, rows_per_band, seed)
     else:
-        udf = hyperplane_bands_udf(dim, bands, rows_per_band, seed)
+        udf = hyperplane_bands_udf(bands, rows_per_band, seed)
     return emb.select(
         F.col(id_col).alias("doc_id"), udf(F.col(vec_col)).alias("bands")
     ).select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))

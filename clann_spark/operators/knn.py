@@ -88,17 +88,15 @@ def _probe_batch(
     from clann_spark.operators.clustering import pairwise_distance
 
     d = pairwise_distance(x, c, metric)
-    if nprobe < c.shape[0]:
-        # argpartition (O(k_centers)) + stable sort of the nprobe slice
-        # instead of a full row sort. Index pre-sort gives smaller-id-
-        # wins ordering WITHIN the selection; an exact-distance tie at
-        # the selection boundary may pick either member — harmless, the
-        # rescue round keeps results exact regardless of the probe set.
-        idx = np.sort(np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe], axis=1)
-        part_d = np.take_along_axis(d, idx, axis=1)
-        order = np.take_along_axis(idx, np.argsort(part_d, axis=1, kind="stable"), axis=1)
-    else:
-        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    # stable full-row argsort: ties break to the LOWER partition id at
+    # every position INCLUDING the selection boundary — the same
+    # (d ASC, cid ASC) order the ivf_cluster_metrics oracle pins with
+    # ROW_NUMBER. (An earlier argpartition variant was O(k) but could
+    # pick either member of an exact tie at the nprobe boundary;
+    # results stayed exact via rescue, but the probe SET is now itself
+    # an oracle-checked output. The sort's k log k comparisons are
+    # dwarfed by the O(k*dim) distance matrix just computed.)
+    order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
     if not forced_arr.size:
         return [row.tolist() for row in order.astype(np.int32)]
     # forced partitions not already in the probe row, appended in

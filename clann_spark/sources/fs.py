@@ -107,12 +107,22 @@ class HadoopFs:
             stream.close()
 
     def write_text(self, path: str, data: str) -> None:
-        p = self._jpath(path)
-        out = self._fs(p).create(p, True)
+        # write-to-tmp + rename, mirroring LocalFs's os.replace
+        # atomicity: a crash mid-write must never leave a truncated
+        # file at the final path (HDFS rename is atomic; object stores
+        # degrade to copy+delete but still never expose partial bytes)
+        tmp = self._jpath(path + ".__tmp__")
+        fs = self._fs(tmp)
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
+        dest = self._jpath(path)
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        if not fs.rename(tmp, dest):
+            raise OSError(f"rename {tmp} -> {dest} failed")
 
     def same_path(self, a: str, b: str) -> bool:
         # Hadoop Path normalizes trailing slashes / redundant separators
