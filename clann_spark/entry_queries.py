@@ -10,6 +10,7 @@ sequential-fold dot product, verified bit-exact Spark vs DuckDB.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1063,6 +1064,191 @@ def q_streaming_dup_clusters(spark, sf_dir):
 O_STREAMING_DUP_CLUSTERS = O_DUP_CLUSTERS
 
 
+def q_planner_recall_curve(spark, sf_dir):
+    """Plan-time recall math as an oracle-checked table (H2 SimHash
+    collision probability, H4 MinHash banding planner, and the J7
+    sketch-threshold solver): for a similarity grid s = g/20, emit the
+    (bands, rows_per_band) chosen by plan_banding(s, recall=0.99,
+    max_perm=512), the candidate probability at the flagship 32x4
+    banding, the per-bit SimHash agreement probability 1 - acos(s)/pi
+    (simhash.hpp:96-102), and the 60-bit Hamming cutoff that keeps
+    0.999 recall (the offline analog of filterer.hpp:108-111).
+
+    The planner is the static replacement for the reference's runtime
+    failure-probability machinery (independent.hpp:108-119,
+    collection.hpp:484-495) — this row is its recall-table analog
+    (result_schema.sql), cross-checked by a DuckDB oracle that
+    re-derives every column independently (S-curve ceil solve, lgamma
+    binomial tail). sf_dir is unused: the planner consumes the config,
+    not the corpus."""
+    from clann_spark.planner import (
+        candidate_probability,
+        hamming_threshold_for,
+        plan_banding,
+        simhash_collision_probability,
+    )
+
+    rows = []
+    for g in range(1, 20):
+        s = g / 20.0
+        plan = plan_banding(s, target_recall=0.99, max_perm=512, max_rows_per_band=16)
+        rows.append(
+            (
+                s,
+                plan.bands,
+                plan.rows_per_band,
+                candidate_probability(s, CFG.bands, CFG.rows_per_band),
+                simhash_collision_probability(s),
+                hamming_threshold_for(s, 0.999),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "s double, planned_bands long, planned_rows long, "
+        "minhash_cand_prob double, bit_agree double, hamming_t999 long",
+    )
+    return df.select(
+        F.round("s", 9).alias("s"),
+        "planned_bands",
+        "planned_rows",
+        F.round("minhash_cand_prob", 9).alias("minhash_cand_prob"),
+        F.round("bit_agree", 9).alias("bit_agree"),
+        "hamming_t999",
+    )
+
+
+# The oracle mirrors plan_banding's float-exact feasibility skip
+# (miss = 1 - s^r underflows to exactly 1.0 for tiny s^r, which the
+# planner treats as infeasible) so both engines select the identical
+# (b, r) — see tests/test_entry.py for the cross-check.
+O_PLANNER_RECALL_CURVE = f"""
+WITH grid AS (SELECT g/20.0 AS s FROM generate_series(1,19) t(g)),
+plans AS (
+  SELECT g.s, r, 1.0 - pow(g.s, r) AS miss
+  FROM grid g, generate_series(1,16) rr(r)
+),
+withb AS (
+  SELECT s, r,
+    CASE WHEN miss <= 0.0 THEN 1
+         ELSE greatest(1, CAST(ceil(ln(1.0-0.99)/ln(miss)) AS BIGINT)) END AS b
+  FROM plans WHERE miss < 1.0
+),
+feas AS (SELECT s, r, b FROM withb WHERE b*r <= 512),
+sel AS (SELECT s, max(r) AS planned_rows FROM feas GROUP BY s),
+selb AS (SELECT f.s, f.b AS planned_bands, sel.planned_rows
+         FROM feas f JOIN sel ON f.s = sel.s AND f.r = sel.planned_rows),
+pd AS (SELECT s, acos(least(1.0, greatest(-1.0, s)))/pi() AS p_dis FROM grid),
+pmf AS (
+  SELECT pd.s, t,
+    exp(lgamma(61.0) - lgamma(t+1.0) - lgamma(61.0-t)
+        + t*ln(greatest(pd.p_dis, 1e-300))
+        + (60-t)*ln(greatest(1.0-pd.p_dis, 1e-300))) AS pm
+  FROM pd, generate_series(0,60) tt(t)
+),
+cum AS (SELECT s, t, sum(pm) OVER (PARTITION BY s ORDER BY t) AS cdf FROM pmf),
+thr AS (SELECT s, min(t) AS hamming_t999 FROM cum WHERE cdf >= 0.999 GROUP BY s)
+SELECT round(g.s, 9) AS s,
+  selb.planned_bands, selb.planned_rows,
+  round(1.0 - pow(1.0 - pow(g.s, {CFG.rows_per_band}), {CFG.bands}), 9)
+    AS minhash_cand_prob,
+  round(1.0 - acos(least(1.0, greatest(-1.0, g.s)))/pi(), 9) AS bit_agree,
+  thr.hamming_t999
+FROM grid g JOIN selb ON g.s = selb.s JOIN thr ON g.s = thr.s
+ORDER BY s
+"""
+
+
+def q_expected_recall(spark, sf_dir):
+    """A4 recall computation (the reference's get_recall_values,
+    src/utils/mod.rs:59-95, adapted to dup pairs): the planner's
+    expected candidate recall over the ACTUAL verified dup-pair
+    similarities of this corpus, plus the config's design recall at
+    tau. The oracle recomputes the true pair similarities brute-force
+    in DuckDB and applies the same S-curve closed form — checking both
+    the pair set and the recall estimator."""
+    from clann_spark.planner import config_recall, expected_pair_recall
+
+    sims = [
+        r["jaccard"]
+        for r in _verified_pairs_df(spark, sf_dir).select("jaccard").collect()
+    ]
+    df = spark.createDataFrame(
+        [(len(sims), expected_pair_recall(CFG, sorted(sims)), config_recall(CFG))],
+        "n_pairs long, expected_recall double, recall_at_tau double",
+    )
+    return df.select(
+        "n_pairs",
+        F.round("expected_recall", 9).alias("expected_recall"),
+        F.round("recall_at_tau", 9).alias("recall_at_tau"),
+    )
+
+
+O_EXPECTED_RECALL = f"""
+WITH {_oracle_bf_pairs(CFG.tau)},
+pr AS (SELECT j FROM p WHERE j >= {CFG.tau})
+SELECT count(*) AS n_pairs,
+  round(avg(1.0 - pow(1.0 - pow(j, {CFG.rows_per_band}), {CFG.bands})), 9)
+    AS expected_recall,
+  round(1.0 - pow(1.0 - pow({CFG.tau}, {CFG.rows_per_band}), {CFG.bands}), 9)
+    AS recall_at_tau
+FROM pr
+"""
+
+
+def q_stage_lineage(spark, sf_dir):
+    """S5 metrics sink + S6 CSV sink + the committed stage tables
+    (S2-S4) in one oracle-checked row: run the checkpointed dedup
+    pipeline (run_dedup_checkpointed — every stage a fingerprinted
+    parquet commit with a lineage sidecar), push the lineage rows
+    through the CSV metrics sink, read the CSV back, and emit
+    (stage, n_rows) for the stages whose row counts are independently
+    SQL-derivable. The DuckDB oracle recomputes each count from the
+    raw documents table (brute-force Jaccard pairs for 'verified',
+    distinct pair-graph nodes for 'clusters') — so a row that survived
+    serialize -> lineage -> CSV -> read-back still has to equal ground
+    truth. ('candidates' is committed too but its count is
+    LSH-structural, not SQL-derivable; it is excluded here and covered
+    by minhash_dedup_pairs downstream.)"""
+    import tempfile
+
+    from clann_spark.metrics import write_metrics_csv
+    from clann_spark.sources.stages import run_dedup_checkpointed
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stage_lineage")
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = tempfile.mkdtemp(prefix="clann_stages_")
+    wd = _PAIRS_CACHE[key]
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = run_dedup_checkpointed(spark, docs, CFG, wd, input_id=f"sf:{sf_dir}")
+    csv_path = os.path.join(wd, "metrics_csv")
+    write_metrics_csv(res["runner"].metrics().select("stage", "rows"), csv_path)
+    back = spark.read.option("header", "true").csv(csv_path)
+    return (
+        back.where(
+            F.col("stage").isin(
+                "signatures", "buckets", "verified", "clusters", "assignments"
+            )
+        )
+        .select("stage", F.col("rows").cast("long").alias("n_rows"))
+        .orderBy("stage")
+    )
+
+
+O_STAGE_LINEAGE = f"""
+WITH {_oracle_bf_pairs(CFG.tau)},
+pr AS (SELECT a, b FROM p WHERE j >= {CFG.tau}),
+nodes AS (SELECT a AS n FROM pr UNION SELECT b FROM pr),
+counts(stage, n_rows) AS (
+  SELECT 'signatures', (SELECT count(*) FROM documents)
+  UNION ALL SELECT 'buckets', (SELECT count(*) * {CFG.bands} FROM documents)
+  UNION ALL SELECT 'verified', (SELECT count(*) FROM pr)
+  UNION ALL SELECT 'clusters', (SELECT count(*) FROM nodes)
+  UNION ALL SELECT 'assignments', (SELECT count(*) FROM documents)
+)
+SELECT stage, n_rows FROM counts ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1099,6 +1285,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_query_metrics": q_lsh_query_metrics,
     "ivf_cluster_metrics": q_ivf_cluster_metrics,
     "streaming_dup_clusters": q_streaming_dup_clusters,
+    "planner_recall_curve": q_planner_recall_curve,
+    "expected_recall": q_expected_recall,
+    "stage_lineage": q_stage_lineage,
 }
 
 ORACLES: dict[str, str] = {
@@ -1143,4 +1332,7 @@ ORACLES: dict[str, str] = {
     "streaming_dup_clusters": O_STREAMING_DUP_CLUSTERS,
     "substring_pairs_120": O_SUBSTRING_PAIRS_120,
     "media_pipeline_stats": O_MEDIA_PIPELINE_STATS,
+    "planner_recall_curve": O_PLANNER_RECALL_CURVE,
+    "expected_recall": O_EXPECTED_RECALL,
+    "stage_lineage": O_STAGE_LINEAGE,
 }

@@ -261,7 +261,10 @@ def test_probe_rescue_batch_cores_match_naive():
         "cosine",
         1e-9,
     )
-    assert time.monotonic() - t0 < 60.0
+    # generous bound: ~17 s idle, but this host's wall clocks swing 2-3x
+    # under load (BASELINE.md); the interpreted path this guards against
+    # took >10 min at this shape, so 240 s still discriminates
+    assert time.monotonic() - t0 < 240.0
 
 
 def test_lsh_query_true_comparison_counts_with_prefilter(spark):
