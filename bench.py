@@ -402,6 +402,15 @@ def main() -> None:
 
     if scaling is not None:
         out["scaling"] = scaling
+    else:
+        # a clean (control-gated) efficiency recorded earlier by
+        # `bench.py --scaling-only` — surface it so the per-round bench
+        # JSON carries the evidence; provenance in the blob itself
+        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING_RESULT.json")
+        if os.path.exists(rec):
+            with open(rec) as f:
+                out["scaling_recorded"] = json.load(f)
 
     print(json.dumps(out))
 
@@ -535,9 +544,22 @@ if __name__ == "__main__":
         print(json.dumps(substrate_control()))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--scaling-only":
         # quiet-window retries: the full protocol (control-gated,
-        # bracketed pairs) without paying the ~10-min headline bench
+        # bracketed pairs) without paying the ~10-min headline bench.
+        # A CLEAN result (efficiency recorded, i.e. bracketed by
+        # passing controls) is persisted to SCALING_RESULT.json so the
+        # headline bench can report it as `scaling_recorded`.
         _warn_if_thp_active()
-        print(json.dumps(scaling_protocol(_base_doc_count())))
+        result = scaling_protocol(_base_doc_count())
+        if result.get("efficiency_n_to_4n") is not None:
+            result["recorded_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            result["protocol"] = "bench.py --scaling-only (control-gated)"
+            rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_RESULT.json")
+            with open(rec, "w") as f:
+                json.dump(result, f, indent=1)
+        print(json.dumps(result))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--stages":
         print(json.dumps(
             stage_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 400)
