@@ -1249,6 +1249,56 @@ SELECT stage, n_rows FROM counts ORDER BY stage
 """
 
 
+#: S7 round-trip payload: field overrides for the config-file source.
+#: The Spark side learns these ONLY through the JSON file; the oracle
+#: SQL is generated from the same literal values independently.
+_S7_CFG_FIELDS = dict(
+    shingle_k=3, num_perm=64, bands=16, rows_per_band=4,
+    tau=0.7, seed=7, hamming_prefilter=None,
+)
+
+
+def q_config_source_sig_stats(spark, sf_dir):
+    """S7 benchmark-config source (benches/utils/mod.rs:8-14 analog):
+    serialize a non-default config to a JSON file, load it back through
+    load_configs_from_file, and run the signature-checksum probe under
+    the LOADED config. Every parameter that shapes the hash chain
+    (shingle_k, num_perm, banding, seed) reaches the pipeline only via
+    the file — a dropped or mangled field drifts every checksum against
+    the oracle, whose SQL constants come from the same values
+    directly."""
+    import json as _json
+    import tempfile
+
+    from clann_spark.config import load_configs_from_file
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        _json.dump({"configs": [_S7_CFG_FIELDS]}, f)
+        path = f.name
+    cfg = load_configs_from_file(path)[0]
+    os.unlink(path)
+    docs = _docs(spark, sf_dir).where("doc_id % 10 = 0").select("doc_id", "text")
+    s = compute_signatures(docs, cfg, drop_text=True)
+    return s.select(
+        "doc_id",
+        F.expr("aggregate(sig, 0L, (acc, x) -> acc + x)").alias("sig_sum"),
+        F.expr("array_min(sig)").alias("sig_min"),
+        F.expr("array_max(sig)").alias("sig_max"),
+    )
+
+
+_S7_CFG = DedupConfig(**_S7_CFG_FIELDS)
+O_CONFIG_SOURCE_SIG_STATS = f"""
+WITH w AS (SELECT doc_id, {OQ.duck_shingle_hashes(OQ.duck_shingles('text', _S7_CFG.shingle_k))} AS hs
+           FROM documents WHERE doc_id % 10 = 0),
+s AS (SELECT doc_id, {OQ.duck_minhash('hs', _S7_CFG)} AS sig FROM w)
+SELECT doc_id, list_sum(sig)::BIGINT AS sig_sum,
+       list_min(sig) AS sig_min, list_max(sig) AS sig_max FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1288,6 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_recall_curve": q_planner_recall_curve,
     "expected_recall": q_expected_recall,
     "stage_lineage": q_stage_lineage,
+    "config_source_sig_stats": q_config_source_sig_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1335,4 +1386,5 @@ ORACLES: dict[str, str] = {
     "planner_recall_curve": O_PLANNER_RECALL_CURVE,
     "expected_recall": O_EXPECTED_RECALL,
     "stage_lineage": O_STAGE_LINEAGE,
+    "config_source_sig_stats": O_CONFIG_SOURCE_SIG_STATS,
 }
