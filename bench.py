@@ -516,6 +516,12 @@ def scaling_protocol(n_docs: int) -> dict:
     scaling["adjacent_pair_efficiencies"] = adj
     clean = _clean_pair_efficiencies(adj, controls, gate)
     scaling["clean_pair_efficiencies"] = clean
+    if not clean and os.environ.get("SPARK_GRAFT_SCALING_FORCE") == "1":
+        # FORCE promised a number even under a degraded substrate: report
+        # the median over ALL adjacent pairs, marked forced so it can
+        # never be mistaken for (or persisted as) clean evidence
+        scaling["forced"] = True
+        clean = adj
     if clean:
         # median of clean pairs is the headline; the min-based
         # aggregate stays for continuity with rounds 1-3
@@ -550,7 +556,7 @@ if __name__ == "__main__":
         # headline bench can report it as `scaling_recorded`.
         _warn_if_thp_active()
         result = scaling_protocol(_base_doc_count())
-        if result.get("efficiency_n_to_4n") is not None:
+        if result.get("efficiency_n_to_4n") is not None and not result.get("forced"):
             result["recorded_at"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             )

@@ -69,6 +69,20 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
 #: instead of four (the gate's analog of staging the table once)
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: per-(session, sf_dir, purpose) scratch workdirs for queries that
+#: build persisted artifacts (IVF index, stage tables) — kept separate
+#: from _PAIRS_CACHE so its DataFrame annotation stays honest
+_WORKDIR_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _scratch_workdir(spark, sf_dir: str, purpose: str, prefix: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, purpose)
+    if key not in _WORKDIR_CACHE:
+        _WORKDIR_CACHE[key] = tempfile.mkdtemp(prefix=prefix)
+    return _WORKDIR_CACHE[key]
+
 #: same per-(session, sf_dir) reuse for the streaming row — see
 #: q_streaming_dup_clusters
 _STREAM_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -744,17 +758,13 @@ def q_ann_ivf_q_top5(spark, sf_dir):
     through the probe join, scores with the JVM integer dot, and
     exact-rescores the provable shortlist — the result equals brute
     force, so the exact cosine SQL is the oracle unchanged."""
-    import tempfile
-
     from clann_spark.operators.ivf_index import build_ivf_index, knn_ivf_index
 
     emb = _emb(spark, sf_dir)
     queries = emb.where("vec_id % 50 = 0")
-    key = (spark.sparkContext.applicationId, sf_dir, "ivf_q")
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = tempfile.mkdtemp(prefix="clann_ivf_q_")
+    wd = _scratch_workdir(spark, sf_dir, "ivf_q", "clann_ivf_q_")
     idx = build_ivf_index(
-        spark, emb, _PAIRS_CACHE[key], k=8, brute_force_below=16, quantized=True
+        spark, emb, wd, k=8, brute_force_below=16, quantized=True
     )
     return knn_ivf_index(queries, idx, k=5, nprobe=2, quantized=True).select(
         "query_id", "neighbor_id", F.round("cos", 9).alias("cos"), "rank"
@@ -920,6 +930,16 @@ def q_ivf_cluster_metrics(spark, sf_dir):
 
 
 def _o_ivf_cluster_metrics() -> str:
+    # Near-tie caveat (same class of assumption as the seeded-determinism
+    # note on the LSH rows): the engine ranks probe targets and evaluates
+    # the rescue bound with NumPy matmul distances while this oracle
+    # replays them with DuckDB sequential folds; summation order can
+    # differ by ~1e-12 - 1e-16. The integer counters only diverge if a
+    # probe ranking or rescue margin sits within that noise of a decision
+    # boundary, which the fixed sf0.01 fixture does not — a mismatch
+    # after changing the fixture/config likely means such a near-tie, not
+    # an engine bug (the tie-deterministic (d ASC, cid ASC) order covers
+    # exact ties only).
     cosdist = OQ.duck_cosdist("q.v", "c.v")
     cos_qa = (
         "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * a.v[i])) / "
@@ -1187,7 +1207,10 @@ O_EXPECTED_RECALL = f"""
 WITH {_oracle_bf_pairs(CFG.tau)},
 pr AS (SELECT j FROM p WHERE j >= {CFG.tau})
 SELECT count(*) AS n_pairs,
-  round(avg(1.0 - pow(1.0 - pow(j, {CFG.rows_per_band}), {CFG.bands})), 9)
+  -- no true pairs -> vacuous recall 1.0, mirroring
+  -- planner.expected_pair_recall([]) (avg over empty is NULL)
+  round(coalesce(
+    avg(1.0 - pow(1.0 - pow(j, {CFG.rows_per_band}), {CFG.bands})), 1.0), 9)
     AS expected_recall,
   round(1.0 - pow(1.0 - pow({CFG.tau}, {CFG.rows_per_band}), {CFG.bands}), 9)
     AS recall_at_tau
@@ -1209,15 +1232,10 @@ def q_stage_lineage(spark, sf_dir):
     truth. ('candidates' is committed too but its count is
     LSH-structural, not SQL-derivable; it is excluded here and covered
     by minhash_dedup_pairs downstream.)"""
-    import tempfile
-
     from clann_spark.metrics import write_metrics_csv
     from clann_spark.sources.stages import run_dedup_checkpointed
 
-    key = (spark.sparkContext.applicationId, sf_dir, "stage_lineage")
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = tempfile.mkdtemp(prefix="clann_stages_")
-    wd = _PAIRS_CACHE[key]
+    wd = _scratch_workdir(spark, sf_dir, "stage_lineage", "clann_stages_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     res = run_dedup_checkpointed(spark, docs, CFG, wd, input_id=f"sf:{sf_dir}")
     csv_path = os.path.join(wd, "metrics_csv")

@@ -58,11 +58,19 @@ def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
             return pd.Series([], dtype=object)
         x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         planes = state.get("planes")
-        if planes is None or planes.shape[0] != x.shape[1]:
+        if planes is None:
             planes = np.random.default_rng(seed).standard_normal(
                 (x.shape[1], bands * rows_per_band)
             )
             state["planes"] = planes
+        elif planes.shape[0] != x.shape[1]:
+            # a mixed-dim embedding column must fail loudly: silently
+            # re-drawing planes per dim would hash the groups in
+            # unrelated spaces and drop their cross pairs with no error
+            raise ValueError(
+                f"embedding dim changed mid-column: saw {planes.shape[0]}, "
+                f"got {x.shape[1]}"
+            )
         bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
         vals = (bits * weights).sum(axis=2)
         return pd.Series(list(vals))
@@ -89,9 +97,15 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
             return pd.Series([], dtype=object)
         x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         diagonals = state.get("diag")
-        if diagonals is None or state.get("dim") != x.shape[1]:
+        if diagonals is None:
             diagonals = cp_diagonals(bands * rows_per_band, next_pow2(x.shape[1]), seed)
             state["diag"], state["dim"] = diagonals, x.shape[1]
+        elif state.get("dim") != x.shape[1]:
+            # same loud-failure contract as the hyperplane family above
+            raise ValueError(
+                f"embedding dim changed mid-column: saw {state.get('dim')}, "
+                f"got {x.shape[1]}"
+            )
         codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
             len(x), bands, rows_per_band
         )

@@ -70,6 +70,7 @@ class HadoopFs:
     def __init__(self, spark):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def _jpath(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -107,10 +108,12 @@ class HadoopFs:
             stream.close()
 
     def write_text(self, path: str, data: str) -> None:
-        # write-to-tmp + rename, mirroring LocalFs's os.replace
-        # atomicity: a crash mid-write must never leave a truncated
-        # file at the final path (HDFS rename is atomic; object stores
-        # degrade to copy+delete but still never expose partial bytes)
+        # write-to-tmp + single-op overwrite rename, mirroring LocalFs's
+        # os.replace: a crash mid-write never leaves a truncated file AND
+        # readers never observe the destination missing. Plain
+        # FileSystem.rename cannot overwrite, so the replace goes through
+        # FileContext.rename(OVERWRITE) (atomic on HDFS; object stores
+        # degrade to copy+delete but still never expose partial bytes).
         tmp = self._jpath(path + ".__tmp__")
         fs = self._fs(tmp)
         out = fs.create(tmp, True)
@@ -119,10 +122,23 @@ class HadoopFs:
         finally:
             out.close()
         dest = self._jpath(path)
-        if fs.exists(dest):
-            fs.delete(dest, False)
-        if not fs.rename(tmp, dest):
-            raise OSError(f"rename {tmp} -> {dest} failed")
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dest.toUri(), self._conf
+            )
+            rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(tmp, dest, opts)
+        except Exception:
+            # schemes with no AbstractFileSystem binding (some object
+            # stores): fall back to delete+rename — NOT atomic (a reader
+            # can observe dest absent between the two ops), which is the
+            # best such stores offer short of a marker protocol
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            if not fs.rename(tmp, dest):
+                raise OSError(f"rename {tmp} -> {dest} failed")
 
     def same_path(self, a: str, b: str) -> bool:
         # Hadoop Path normalizes trailing slashes / redundant separators

@@ -15,7 +15,7 @@ from bench import _clean_pair_efficiencies, _control_task, _master_cores
 def test_master_cores():
     assert _master_cores("local[2]") == 2
     assert _master_cores("local[32]") == 32
-    assert _master_cores("local[*]") == 32
+    assert _master_cores("local[*]") == (os.cpu_count() or 32)
     assert _master_cores("local-cluster[1,2,8192]") == 2
     assert _master_cores("local-cluster[4,2,8192]") == 8
     assert _master_cores("local-cluster[4,1,8192]") == 4
