@@ -415,6 +415,57 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
+    """Fold this run's clean bracketed pairs into the persisted
+    cross-window history (SCALING_RESULT.json).
+
+    One protocol run rarely catches more than one continuously-quiet
+    window on this host, so single-run medians are 1-2 samples; the
+    honest aggregate is the median over EVERY clean pair ever recorded,
+    each measured inside its own control-passing bracket. Returns the
+    record to persist, or None when there is still no clean evidence."""
+    history: list[dict] = []
+    if os.path.exists(rec_path):
+        with open(rec_path) as f:
+            prev = json.load(f)
+        history = prev.get("clean_pairs_history") or [
+            # migrate a pre-history record: efficiencies only
+            {"efficiency": e, "recorded_at": prev.get("recorded_at")}
+            for e in prev.get("clean_pair_efficiencies", [])
+        ]
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    adj = result.get("adjacent_pair_efficiencies", [])
+    controls = result.get("bracketing_controls", [])
+    gate = result.get("control_gate", 0.9)
+    reps = result.get("reps", {})
+    for i, e in enumerate(adj):
+        if i + 1 < len(controls) and controls[i] >= gate and controls[i + 1] >= gate:
+            history.append(
+                {
+                    "efficiency": e,
+                    "t_n": reps.get("t_n", [None] * (i + 1))[i],
+                    "t_4n": reps.get("t_4n", [None] * (i + 1))[i],
+                    "controls": [controls[i], controls[i + 1]],
+                    "n_docs": result.get("n_docs"),
+                    "masters": result.get("masters"),
+                    "recorded_at": now,
+                }
+            )
+    if not history:
+        return None
+    effs = sorted(h["efficiency"] for h in history)
+    return {
+        "efficiency_n_to_4n": effs[len(effs) // 2],
+        "n_clean_pairs": len(effs),
+        "clean_pair_efficiencies": effs,
+        "clean_pairs_history": history,
+        "recorded_at": now,
+        "protocol": "bench.py --scaling-only (control-gated, "
+        "cross-window median of clean bracketed pairs)",
+        "latest_run": result,
+    }
+
+
 def _base_doc_count() -> int:
     """Row count of the base documents table without starting Spark
     (the scaling protocol must run before any JVM exists). dataset()
@@ -556,15 +607,13 @@ if __name__ == "__main__":
         # headline bench can report it as `scaling_recorded`.
         _warn_if_thp_active()
         result = scaling_protocol(_base_doc_count())
-        if result.get("efficiency_n_to_4n") is not None and not result.get("forced"):
-            result["recorded_at"] = time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-            )
-            result["protocol"] = "bench.py --scaling-only (control-gated)"
+        if not result.get("forced"):
             rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "SCALING_RESULT.json")
-            with open(rec, "w") as f:
-                json.dump(result, f, indent=1)
+            merged = _merge_scaling_history(result, rec)
+            if merged is not None:
+                with open(rec, "w") as f:
+                    json.dump(merged, f, indent=1)
         print(json.dumps(result))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--stages":
         print(json.dumps(
