@@ -71,8 +71,16 @@ def _driver_union_find(spark, edges: list) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    import pandas as pd
+
+    # pandas frame -> Arrow path for createDataFrame: the list-of-tuples
+    # form pickles row-by-row through the JVM (a flat serial cost on
+    # every run); the Arrow path ships two int64 buffers
+    rows = pd.DataFrame(
+        {"doc_id": list(parent), "cluster_id": [find(n) for n in parent]},
+        dtype="int64",
+    )
+    return spark.createDataFrame(rows)
 
 
 def connected_components(
@@ -102,11 +110,15 @@ def connected_components(
     # the driver (the old probe spent separate count + collect jobs —
     # a flat serial term in every bench run)
     spark = pairs.sparkSession
-    head = e.limit(driver_threshold + 1).collect()
+    # toPandas: Arrow transfer of two int64 columns, vs collect()'s
+    # per-Row pickling — the probe is on every run's serial path
+    head = e.limit(driver_threshold + 1).toPandas()
     if len(head) <= driver_threshold:
-        if not head:
+        if head.empty:
             return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return _driver_union_find(spark, [(r["u"], r["v"]) for r in head])
+        return _driver_union_find(
+            spark, list(zip(head["u"].tolist(), head["v"].tolist()))
+        )
 
     def _fingerprint(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: (count, sum of row hashes).

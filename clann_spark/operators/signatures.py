@@ -130,15 +130,26 @@ def compute_signatures(
     return out if include_shingles else out.drop("shingle_hashes")
 
 
-def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+def explode_bands(
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
     """(id, bands) -> exploded (id, band_id, band_hash) bucket rows.
 
     The reference keeps L parallel sorted hash tables
     (prefixmap.hpp:66-87); here band_id plays the role of the table
     index and the groupBy/shuffle on (band_id, band_hash) is the
     table build (SURVEY.md §2.4 C6-C8).
+
+    extra_cols: per-doc columns replicated onto every bucket row (e.g.
+    the simhash fingerprint, +8 B/row through the candidate exchange,
+    which lets candidate_pairs fuse the J7 sketch filter into the pair
+    join instead of re-joining the signature table twice afterwards).
     """
     return sig_df.select(
         F.col(id_col),
         F.posexplode("bands").alias("band_id", "band_hash"),
+        *[F.col(c) for c in extra_cols],
     )

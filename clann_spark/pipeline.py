@@ -79,20 +79,28 @@ def run_dedup(
     if persist_signatures:
         sigs = sigs.persist()
 
-    # The bucket table is consumed twice inside candidate_pairs (census +
-    # join-back) but exploding from the persisted slim signatures is a
-    # trivial narrow op — caching 32x more rows costs more memory churn
-    # than the recompute. (In the checkpointed pipeline the bucket table
-    # IS written once as a stage table — sources/stages.py.)
-    buckets = explode_bands(sigs, cfg)
-    cands = candidate_pairs(buckets, cfg, mode=pair_mode).persist()
+    # The bucket table is consumed by both sides of the clique self-join
+    # but exploding from the persisted slim signatures is a trivial
+    # narrow op — caching 32x more rows costs more memory churn than
+    # the recompute. (In the checkpointed pipeline the bucket table IS
+    # written once as a stage table — sources/stages.py.)
+    #
+    # J7 sketch filter (filterer.hpp:20-32) is FUSED into the pair
+    # join: the 60-bit fingerprint rides the bucket rows (+8 B/row
+    # through candidate_pairs' single exchange) and far pairs die on a
+    # bit_count predicate inside the join — no post-hoc joins against
+    # the signature table, and the cross-band distinct shuffles only
+    # the survivors.
     threshold = cfg.hamming_threshold
-    if threshold is not None:
-        # J7 sketch filter: slim int64 joins + bit_count drop most false
-        # candidates before the text re-derivation (filterer.hpp:20-32)
-        from clann_spark.operators.verify import prefilter_pairs_by_simhash
-
-        cands = prefilter_pairs_by_simhash(cands, sigs, threshold)
+    extra = ("simhash",) if threshold is not None else ()
+    buckets = explode_bands(sigs, cfg, extra_cols=extra)
+    cands = candidate_pairs(
+        buckets,
+        cfg,
+        mode=pair_mode,
+        sketch_col="simhash" if threshold is not None else None,
+        hamming_threshold=threshold,
+    ).persist()
     verified = verify_pairs_from_text(cands, base, cfg).persist()
     clusters = connected_components(verified)
 

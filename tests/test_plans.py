@@ -42,14 +42,42 @@ def test_signature_stage_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan, "signature stage must not shuffle"
 
 
-def test_census_joinback_broadcasts_when_small(spark, sf_dir):
-    from clann_spark.operators.candidates import salted_buckets
+def test_candidates_stage_is_one_exchange(spark, sf_dir):
+    """Round-4 invariant: census, singleton drop, salting AND the
+    clique pair join all hang off a single hashpartitioning(band_hash)
+    exchange — no broadcast, no second shuffle, no driver action
+    (candidates.py module docstring). The only other exchange in the
+    full candidate plan is the unavoidable cross-band distinct."""
+    from clann_spark.operators.candidates import candidate_pairs, salted_buckets
+
+    def _simple(df) -> str:
+        # simple mode keeps each Exchange's partitioning on its own
+        # plan line, so node counting works (formatted mode splits the
+        # arguments into a detail section)
+        jvm = df.sparkSession._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     sigs = compute_signatures(docs, CFG, include_shingles=False, include_sig=False)
     sb = salted_buckets(explode_bands(sigs, CFG), CFG)
-    plan = _plan(sb)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    plan = _simple(sb)
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    pairs = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
+    pplan = _simple(pairs)
+    assert "BroadcastExchange" not in pplan
+    # the self-join must ride the band_hash exchanges directly (AQE
+    # dedups the two canonically-equal sides into one shuffle at
+    # runtime); EnsureRequirements must NOT insert (band_hash, salt)
+    # re-shuffles — subset co-partitioning is accepted via
+    # requireAllClusterKeysForCoPartition=false (session.py)
+    for ln in pplan.splitlines():
+        if "Exchange hashpartitioning" in ln and "salt" in ln:
+            raise AssertionError(f"redundant salted re-shuffle: {ln}")
+    assert "SortMergeJoin" in pplan
 
 
 def test_bruteforce_knn_broadcasts_queries(spark, embeddings):
