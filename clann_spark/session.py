@@ -64,7 +64,14 @@ def get_spark(
             shuffle_partitions = 32
         elif "," in spec:  # local-cluster[workers,cores,memMB]
             parts = spec.split(",")
-            shuffle_partitions = max(8, int(parts[0]) * int(parts[1]))
+            # 3x total cores: post-exchange stages then run in >=3
+            # waves, so one slow task costs a fraction of a wave
+            # instead of stalling the whole stage (at exactly
+            # 1 task/core, any skewed partition serializes the stage
+            # tail — measured on the N->4N protocol, where the 4N
+            # level ran single-wave and lost ~10% wall to stragglers).
+            # AQE coalescing shrinks small stages back automatically.
+            shuffle_partitions = max(8, 3 * int(parts[0]) * int(parts[1]))
             if len(parts) > 2:
                 # leave headroom below the worker's memory budget
                 executor_mem = f"{max(1024, int(parts[2]) - 1024)}m"
