@@ -453,7 +453,14 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
             )
     if not history:
         return None
-    effs = sorted(h["efficiency"] for h in history)
+    # entries later found contaminated (e.g. a concurrent job that the
+    # before/after brackets could not see) stay in the history for
+    # provenance but are excluded from the headline
+    effs = sorted(
+        h["efficiency"] for h in history if not h.get("contaminated")
+    )
+    if not effs:
+        return None
     return {
         "efficiency_n_to_4n": effs[len(effs) // 2],
         "n_clean_pairs": len(effs),
