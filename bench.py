@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -306,6 +307,35 @@ def one_run(master: str, factor: int) -> float:
     return dt
 
 
+def _code_sha() -> str:
+    """Short git SHA of the repo at measurement time — recorded per
+    clean scaling pair so the headline can be scoped to the code that
+    actually produced it (pairs measured on superseded code stay in the
+    history for provenance but are labeled)."""
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _compact_scaling(rec: dict) -> dict:
+    """Slim summary of a scaling record/result for the ONE-LINE headline
+    JSON. The driver captures only the tail of stdout, so the headline
+    line must stay short — full provenance lives in SCALING_RESULT.json
+    (round 4's headline embedded the whole blob and overflowed the
+    driver's parse window: BENCH_r04 `parsed: null`)."""
+    keys = (
+        "efficiency_n_to_4n", "n_clean_pairs", "clean_pair_efficiencies",
+        "headline_scope", "recorded_at", "gated", "forced",
+        "docs_per_sec_n", "docs_per_sec_4n", "n_docs", "masters",
+    )
+    return {k: rec[k] for k in keys if k in rec}
+
+
 def main() -> None:
     from clann_spark.config import DedupConfig
     from clann_spark.session import get_spark
@@ -314,12 +344,15 @@ def main() -> None:
     _warn_if_thp_active()
     # the scaling protocol runs FIRST, before the headline queries load
     # all cores: its gate control must see the host as the engine pair
-    # will, not one heated by ten minutes of bench traffic
-    scaling = (
-        scaling_protocol(_base_doc_count())
-        if os.environ.get("SPARK_GRAFT_SCALING") == "1"
-        else None
-    )
+    # will, not one heated by ten minutes of bench traffic. It must
+    # never take the per-query headline down with it — the driver
+    # contract is the ONE parseable JSON line, every round.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        try:
+            scaling = scaling_protocol(_base_doc_count())
+        except Exception as e:  # pragma: no cover - defensive
+            scaling = {"error": f"{type(e).__name__}: {e}"}
     spark = get_spark("bench", master=f"local[{CPUS}]")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n_docs = docs.count()
@@ -401,16 +434,19 @@ def main() -> None:
     }
 
     if scaling is not None:
-        out["scaling"] = scaling
-    else:
-        # a clean (control-gated) efficiency recorded earlier by
-        # `bench.py --scaling-only` — surface it so the per-round bench
-        # JSON carries the evidence; provenance in the blob itself
-        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SCALING_RESULT.json")
-        if os.path.exists(rec):
+        out["scaling"] = _compact_scaling(scaling) if "error" not in scaling else scaling
+    # a clean (control-gated) efficiency recorded earlier by
+    # `bench.py --scaling-only` — surface a COMPACT summary so the
+    # per-round bench JSON carries the evidence without blowing the
+    # one-line budget; full provenance stays in SCALING_RESULT.json
+    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "SCALING_RESULT.json")
+    if os.path.exists(rec):
+        try:
             with open(rec) as f:
-                out["scaling_recorded"] = json.load(f)
+                out["scaling_recorded"] = _compact_scaling(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            pass
 
     print(json.dumps(out))
 
@@ -434,6 +470,7 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
             for e in prev.get("clean_pair_efficiencies", [])
         ]
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    sha = _code_sha()
     adj = result.get("adjacent_pair_efficiencies", [])
     controls = result.get("bracketing_controls", [])
     gate = result.get("control_gate", 0.9)
@@ -449,6 +486,7 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
                     "n_docs": result.get("n_docs"),
                     "masters": result.get("masters"),
                     "recorded_at": now,
+                    "code_sha": sha,
                 }
             )
     if not history:
@@ -456,19 +494,32 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
     # entries later found contaminated (e.g. a concurrent job that the
     # before/after brackets could not see) stay in the history for
     # provenance but are excluded from the headline
-    effs = sorted(
-        h["efficiency"] for h in history if not h.get("contaminated")
-    )
-    if not effs:
+    clean = [h for h in history if not h.get("contaminated")]
+    if not clean:
         return None
+    # Headline scope: pairs measured on superseded code describe a
+    # pipeline that no longer exists. With >=2 clean pairs from the
+    # CURRENT commit, the headline is their median; otherwise it falls
+    # back to every clean pair and the version mix is surfaced.
+    # (Entries recorded before code_sha existed count as 'pre-r5'.)
+    current = [h for h in clean if h.get("code_sha") == sha]
+    if len(current) >= 2:
+        scoped, scope = current, f"current code {sha} (n={len(current)})"
+    else:
+        shas = sorted({h.get("code_sha", "pre-r5") for h in clean})
+        scoped, scope = clean, f"all recorded code versions (mix: {shas})"
+    effs = sorted(h["efficiency"] for h in scoped)
     return {
-        "efficiency_n_to_4n": effs[len(effs) // 2],
+        "efficiency_n_to_4n": round(statistics.median(effs), 3),
+        "headline_scope": scope,
         "n_clean_pairs": len(effs),
         "clean_pair_efficiencies": effs,
+        "all_clean_pair_efficiencies": sorted(h["efficiency"] for h in clean),
         "clean_pairs_history": history,
         "recorded_at": now,
         "protocol": "bench.py --scaling-only (control-gated, "
-        "cross-window median of clean bracketed pairs)",
+        "cross-window median of clean bracketed pairs; headline scoped "
+        "to the current code when >=2 of its pairs exist)",
         "latest_run": result,
     }
 
@@ -583,8 +634,7 @@ def scaling_protocol(n_docs: int) -> dict:
     if clean:
         # median of clean pairs is the headline; the min-based
         # aggregate stays for continuity with rounds 1-3
-        clean_sorted = sorted(clean)
-        scaling["efficiency_n_to_4n"] = clean_sorted[len(clean_sorted) // 2]
+        scaling["efficiency_n_to_4n"] = round(statistics.median(clean), 3)
         scaling["efficiency_min_based"] = round(
             scaling["t_n"] / scaling["t_4n"] / ratio, 3
         )

@@ -1185,21 +1185,20 @@ def q_expected_recall(spark, sf_dir):
     similarities of this corpus, plus the config's design recall at
     tau. The oracle recomputes the true pair similarities brute-force
     in DuckDB and applies the same S-curve closed form — checking both
-    the pair set and the recall estimator."""
-    from clann_spark.planner import config_recall, expected_pair_recall
+    the pair set and the recall estimator.
 
-    sims = [
-        r["jaccard"]
-        for r in _verified_pairs_df(spark, sf_dir).select("jaccard").collect()
-    ]
-    df = spark.createDataFrame(
-        [(len(sims), expected_pair_recall(CFG, sorted(sims)), config_recall(CFG))],
-        "n_pairs long, expected_recall double, recall_at_tau double",
-    )
-    return df.select(
-        "n_pairs",
-        F.round("expected_recall", 9).alias("expected_recall"),
-        F.round("recall_at_tau", 9).alias("recall_at_tau"),
+    The S-curve mean runs as a Spark AGGREGATE (planner.
+    expected_pair_recall_agg) — no pair-similarity collect to the
+    driver (round-4 VERDICT item 4): at a duplicate-heavy 10^12-doc
+    corpus the pair list is billions of rows; the list-form API stays
+    for tests. Rounding to 9 digits absorbs summation-order FP noise
+    on both sides."""
+    from clann_spark.planner import config_recall, expected_pair_recall_agg
+
+    return _verified_pairs_df(spark, sf_dir).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(expected_pair_recall_agg(CFG), 9).alias("expected_recall"),
+        F.round(F.lit(config_recall(CFG)), 9).alias("recall_at_tau"),
     )
 
 
@@ -1264,6 +1263,50 @@ counts(stage, n_rows) AS (
   UNION ALL SELECT 'assignments', (SELECT count(*) FROM documents)
 )
 SELECT stage, n_rows FROM counts ORDER BY stage
+"""
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """A5 build-metrics rollup (src/utils/metrics/mod.rs:152-185
+    run-total analog, :247-263 read-back): push the committed stage
+    lineage through metrics.metrics_rollup and emit the run-level
+    totals that are independently SQL-derivable from the raw documents
+    table — stage count, total output rows, and the verified-pair
+    counter summed out of the per-stage counters map (A8's
+    pairs_verified, observed by the verify stage's own write action).
+
+    Shares (or resumes — S4) the stage_lineage workdir: when that row
+    ran first, every stage here is read back from its committed
+    checkpoint, so the rollup also re-checks the resume path end to
+    end. Same exclusion rationale as stage_lineage: 'candidates' row
+    counts (and the comparisons counter) are LSH-structural, not
+    SQL-expressible; wall_ms is real but not derivable — neither is
+    part of the oracle-checked projection."""
+    from clann_spark.metrics import metrics_rollup
+    from clann_spark.sources.stages import run_dedup_checkpointed
+
+    wd = _scratch_workdir(spark, sf_dir, "stage_lineage", "clann_stages_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = run_dedup_checkpointed(spark, docs, CFG, wd, input_id=f"sf:{sf_dir}")
+    m = res["runner"].metrics().where(
+        F.col("stage").isin(
+            "signatures", "buckets", "verified", "clusters", "assignments"
+        )
+    )
+    return metrics_rollup(m).select(
+        "run_id", "n_stages", "total_rows", "pairs_verified"
+    )
+
+
+O_METRICS_ROLLUP = f"""
+WITH {_oracle_bf_pairs(CFG.tau)},
+pr AS (SELECT a, b FROM p WHERE j >= {CFG.tau}),
+nodes AS (SELECT a AS n FROM pr UNION SELECT b FROM pr)
+SELECT 'run' AS run_id, CAST(5 AS BIGINT) AS n_stages,
+  ((SELECT count(*) FROM documents) * (2 + {CFG.bands})
+   + (SELECT count(*) FROM pr)
+   + (SELECT count(*) FROM nodes)) AS total_rows,
+  (SELECT count(*) FROM pr) AS pairs_verified
 """
 
 
@@ -1356,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_recall_curve": q_planner_recall_curve,
     "expected_recall": q_expected_recall,
     "stage_lineage": q_stage_lineage,
+    "metrics_rollup": q_metrics_rollup,
     "config_source_sig_stats": q_config_source_sig_stats,
 }
 
@@ -1404,5 +1448,6 @@ ORACLES: dict[str, str] = {
     "planner_recall_curve": O_PLANNER_RECALL_CURVE,
     "expected_recall": O_EXPECTED_RECALL,
     "stage_lineage": O_STAGE_LINEAGE,
+    "metrics_rollup": O_METRICS_ROLLUP,
     "config_source_sig_stats": O_CONFIG_SOURCE_SIG_STATS,
 }

@@ -44,38 +44,72 @@ COS_SQL = (
 
 def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     """embedding -> array<long> of b band values (r packed sign bits
-    each). The Gaussian plane matrix is drawn lazily from the FIRST
-    Arrow batch's dim with a fixed seed — every executor, retry and
-    cluster size derives identical planes (simhash.hpp:17-23 sampling,
-    made deterministic) and the caller never runs a driver-side job
-    just to learn the embedding dim."""
+    each). The Gaussian plane matrix is drawn lazily from each Arrow
+    batch's dim, with the rng KEYED BY (seed, dim): every executor,
+    retry, task and cluster size derives identical planes for a given
+    dim (simhash.hpp:17-23 sampling, made deterministic) and the caller
+    never runs a driver-side job just to learn the embedding dim.
+
+    Mixed-dim columns (ADVICE r4): a per-task "dim changed" raise was
+    best-effort — dims split across tasks would each re-draw planes
+    from the same un-keyed seed and hash unrelated spaces without ever
+    raising. Keying the draw by dim makes every task hash a given dim
+    identically, and folding the dim into the band value puts different
+    dims in disjoint bucket spaces — the only coherent semantics, since
+    vectors of different dims have no cosine and can never be a pair."""
+    if rows_per_band >= 48:
+        raise ValueError("rows_per_band >= 48 collides with the dim tag bits")
     weights = (1 << np.arange(rows_per_band, dtype=np.int64))[None, None, :]
     state: dict = {}
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bands(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
-        planes = state.get("planes")
+    def _vals_for_dim(x: np.ndarray) -> np.ndarray:
+        dim = x.shape[1]
+        if dim >= 1 << 14:
+            raise ValueError(f"embedding dim {dim} >= 16384 unsupported")
+        planes = state.get(dim)
         if planes is None:
+            # the draw is a pure function of (seed, dim): identical on
+            # every task/executor/retry, and bit-identical to a draw
+            # that never saw any other dim
             planes = np.random.default_rng(seed).standard_normal(
-                (x.shape[1], bands * rows_per_band)
+                (dim, bands * rows_per_band)
             )
-            state["planes"] = planes
-        elif planes.shape[0] != x.shape[1]:
-            # a mixed-dim embedding column must fail loudly: silently
-            # re-drawing planes per dim would hash the groups in
-            # unrelated spaces and drop their cross pairs with no error
-            raise ValueError(
-                f"embedding dim changed mid-column: saw {planes.shape[0]}, "
-                f"got {x.shape[1]}"
-            )
+            state[dim] = planes
         bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
         vals = (bits * weights).sum(axis=2)
-        return pd.Series(list(vals))
+        # disjoint band spaces per dim (r sign bits < 2^48): same-dim
+        # pairs unaffected; cross-dim band collisions — which could
+        # only waste verify work or split same-dim mega-buckets
+        # differently — become impossible
+        return vals + (np.int64(dim) << np.int64(48))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        return _grouped_by_dim(vecs, _vals_for_dim)
 
     return _bands
+
+
+def _grouped_by_dim(vecs: pd.Series, fn) -> pd.Series:
+    """Apply fn((n, dim) float64 matrix -> (n, bands) int64) per
+    distinct row length in the Arrow batch. Single-dim batches (the
+    normal case) take one vstack; mixed-dim batches — Arrow happily
+    packs ragged lists — are split by length so each dim hashes in its
+    own keyed space instead of crashing the vstack (ADVICE r4)."""
+    if len(vecs) == 0:
+        return pd.Series([], dtype=object)
+    arr = vecs.to_numpy()
+    lens = np.fromiter((len(v) for v in arr), dtype=np.int64, count=len(arr))
+    dims = np.unique(lens)
+    if dims.size == 1:
+        return pd.Series(list(fn(np.vstack(arr).astype(np.float64, copy=False))))
+    out = np.empty(len(arr), dtype=object)
+    for dim in dims:
+        idx = np.nonzero(lens == dim)[0]
+        vals = fn(np.vstack([arr[i] for i in idx]).astype(np.float64, copy=False))
+        for j, i in enumerate(idx):
+            out[i] = vals[j]
+    return pd.Series(list(out))
 
 
 def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
@@ -91,21 +125,17 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
 
     state: dict = {}
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bands(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
-        diagonals = state.get("diag")
+    def _vals_for_dim(x: np.ndarray) -> np.ndarray:
+        dim = x.shape[1]
+        diagonals = state.get(dim)
         if diagonals is None:
-            diagonals = cp_diagonals(bands * rows_per_band, next_pow2(x.shape[1]), seed)
-            state["diag"], state["dim"] = diagonals, x.shape[1]
-        elif state.get("dim") != x.shape[1]:
-            # same loud-failure contract as the hyperplane family above
-            raise ValueError(
-                f"embedding dim changed mid-column: saw {state.get('dim')}, "
-                f"got {x.shape[1]}"
-            )
+            # pure function of (seed, dim) — identical across tasks, so
+            # mixed-dim columns hash each dim consistently (ADVICE r4);
+            # the 60-bit splitmix folds below make cross-dim band
+            # collisions ~2^-60, i.e. dims occupy disjoint spaces
+            # without an explicit tag
+            diagonals = cp_diagonals(bands * rows_per_band, next_pow2(dim), seed)
+            state[dim] = diagonals
         codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
             len(x), bands, rows_per_band
         )
@@ -113,7 +143,11 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
         acc ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x100000001B3)
         for j in range(rows_per_band):
             acc = _splitmix_step(acc ^ codes[:, :, j])
-        return pd.Series(list((acc >> np.uint64(4)).astype(np.int64)))
+        return (acc >> np.uint64(4)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        return _grouped_by_dim(vecs, _vals_for_dim)
 
     return _bands
 

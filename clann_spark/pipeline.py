@@ -44,7 +44,10 @@ def prepare_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
 @dataclass
 class DedupResult:
     signatures: DataFrame      # doc_id, shingle_hashes, sig, bands, simhash
-    buckets: DataFrame         # doc_id, band_id, band_hash
+    buckets: DataFrame         # doc_id, band_id, band_hash [, simhash
+                               #   when the hamming prefilter is on —
+                               #   the J7 fingerprint rides the bucket
+                               #   rows into the fused pair join]
     candidates: DataFrame      # a, b
     verified: DataFrame        # a, b, jaccard  (jaccard >= tau)
     clusters: DataFrame        # doc_id, cluster_id (only docs in a dup pair)

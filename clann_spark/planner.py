@@ -234,7 +234,28 @@ def expected_pair_recall(cfg: DedupConfig, sims: list[float]) -> float:
     """Mean candidate probability over a list of true-pair similarities —
     the planner-side estimate of the dup-pair recall metric
     (adaptation of the reference's get_recall_values,
-    src/utils/mod.rs:59-95, to pairs)."""
+    src/utils/mod.rs:59-95, to pairs).
+
+    List form for tests/small inputs; at scale use
+    expected_pair_recall_agg — a duplicate-heavy 10^12-doc corpus has
+    billions of true pairs, and collecting their similarities to the
+    driver is exactly the anti-pattern the rest of the engine avoids."""
     if not sims:
         return 1.0
     return sum(candidate_probability(s, cfg.bands, cfg.rows_per_band) for s in sims) / len(sims)
+
+
+def expected_pair_recall_agg(cfg: DedupConfig, jaccard_col: str = "jaccard"):
+    """The same S-curve mean as a Spark AGGREGATE EXPRESSION —
+    avg(1 - (1 - j^r)^b) over the pair DataFrame, computed where the
+    pairs live instead of on the driver (round-4 VERDICT item 4).
+    Empty input keeps the vacuous-recall-1.0 contract of the list form.
+
+    Usage: pairs.agg(expected_pair_recall_agg(cfg).alias("er"))."""
+    from pyspark.sql import functions as F
+
+    s_curve = 1.0 - F.pow(
+        1.0 - F.pow(F.col(jaccard_col), F.lit(float(cfg.rows_per_band))),
+        F.lit(float(cfg.bands)),
+    )
+    return F.coalesce(F.avg(s_curve), F.lit(1.0))

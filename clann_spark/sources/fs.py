@@ -130,10 +130,27 @@ class HadoopFs:
             opts = self._gateway.new_array(rename_enum, 1)
             opts[0] = rename_enum.OVERWRITE
             fc.rename(tmp, dest, opts)
-        except Exception:
-            # schemes with no AbstractFileSystem binding (some object
-            # stores): fall back to delete+rename — NOT atomic (a reader
-            # can observe dest absent between the two ops), which is the
+        except Exception as e:
+            # Downgrade ONLY for schemes with no AbstractFileSystem
+            # binding (some object stores) — transient IO/permission
+            # errors must re-raise, not silently delete the committed
+            # dest and then possibly fail the replacement rename too
+            # (ADVICE r4). py4j wraps the Java exception; match the
+            # class name, not the message.
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            if "UnsupportedFileSystemException" not in name:
+                raise
+            import sys
+
+            print(
+                f"clann_spark.fs: no AbstractFileSystem binding for "
+                f"{dest.toUri().getScheme()} — non-atomic delete+rename "
+                f"fallback for {path}",
+                file=sys.stderr,
+            )
+            # fall back to delete+rename — NOT atomic (a reader can
+            # observe dest absent between the two ops), which is the
             # best such stores offer short of a marker protocol
             if fs.exists(dest):
                 fs.delete(dest, False)

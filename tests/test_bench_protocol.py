@@ -33,6 +33,82 @@ def test_clean_pairs_require_both_brackets():
     assert _clean_pair_efficiencies(adj, [0.5] * 4, 0.9) == []
 
 
+def _fake_result(adj, controls, tn=None, t4n=None):
+    return {
+        "adjacent_pair_efficiencies": adj,
+        "bracketing_controls": controls,
+        "control_gate": 0.9,
+        "reps": {"t_n": tn or [100.0] * len(adj), "t_4n": t4n or [30.0] * len(adj)},
+        "n_docs": 1000,
+        "masters": ["local-cluster[1,2,8192]", "local-cluster[4,2,8192]"],
+    }
+
+
+def test_merge_history_records_sha_and_scopes_headline(tmp_path):
+    import json
+
+    from bench import _code_sha, _merge_scaling_history
+
+    rec = str(tmp_path / "SCALING_RESULT.json")
+    # stale-code history: two clean pairs recorded without a sha
+    with open(rec, "w") as f:
+        json.dump(
+            {"clean_pairs_history": [
+                {"efficiency": 0.50, "recorded_at": "old"},
+                {"efficiency": 0.52, "recorded_at": "old"},
+            ]},
+            f,
+        )
+    # one new clean pair: not enough current-code evidence -> headline
+    # spans all clean pairs and surfaces the version mix
+    m1 = _merge_scaling_history(_fake_result([0.80], [0.95, 0.96]), rec)
+    assert m1["clean_pairs_history"][-1]["code_sha"] == _code_sha()
+    assert m1["n_clean_pairs"] == 3
+    assert m1["efficiency_n_to_4n"] == 0.52  # true median, all pairs
+    assert "mix" in m1["headline_scope"]
+    with open(rec, "w") as f:
+        json.dump(m1, f)
+    # a second current-code pair flips the headline scope to current
+    m2 = _merge_scaling_history(_fake_result([0.84], [0.95, 0.96]), rec)
+    assert m2["n_clean_pairs"] == 2
+    assert m2["efficiency_n_to_4n"] == 0.82  # median of [0.80, 0.84]
+    assert _code_sha() in m2["headline_scope"]
+    assert m2["all_clean_pair_efficiencies"] == [0.5, 0.52, 0.8, 0.84]
+
+
+def test_merge_history_true_median_even_count(tmp_path):
+    # ADVICE r4: effs[len//2] was the upper-middle element, not the
+    # median, for even-length lists — pin statistics.median semantics
+    from bench import _merge_scaling_history
+
+    rec = str(tmp_path / "none.json")
+    m = _merge_scaling_history(
+        _fake_result([0.60, 0.80], [0.95, 0.96, 0.97]), rec
+    )
+    assert m["efficiency_n_to_4n"] == 0.70
+
+
+def test_compact_scaling_fits_one_line():
+    import json
+
+    from bench import _compact_scaling
+
+    fat = {
+        "efficiency_n_to_4n": 0.728,
+        "n_clean_pairs": 5,
+        "clean_pair_efficiencies": [0.56, 0.586, 0.607, 0.645, 0.728],
+        "headline_scope": "all recorded code versions",
+        "recorded_at": "2026-08-18T00:00:00Z",
+        "clean_pairs_history": [{"big": "x" * 4000}] * 10,
+        "latest_run": {"substrate_control": {"compute": {"t_n": [1] * 50}}},
+    }
+    slim = _compact_scaling(fat)
+    assert "clean_pairs_history" not in slim and "latest_run" not in slim
+    # the whole headline line must fit the driver's tail window
+    assert len(json.dumps(slim)) < 1000
+    assert slim["efficiency_n_to_4n"] == 0.728
+
+
 def test_control_task_deterministic_and_fixed_work():
     # same seed -> same result (the control times FIXED work; a seed-
     # dependent amount of work would make walls incomparable)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from clann_spark.operators.embedding_lsh import embedding_buckets, embedding_lsh_pairs
 from clann_spark.planner import (
@@ -74,6 +75,38 @@ def test_low_threshold_matches_fixture_oracle(spark, embeddings):
         for r in embedding_lsh_pairs(emb, 0.4, plan.bands, plan.rows_per_band).collect()
     }
     assert got == _exact_pairs(emb, 0.4)
+
+
+def test_mixed_dim_column_hashes_each_dim_consistently(spark):
+    """ADVICE r4: dims split across tasks must not hash in unrelated
+    spaces. The plane draw is keyed by (seed, dim) inside the UDF, so a
+    mixed-dim column — dims interleaved across many partitions — finds
+    every same-dim pair; cross-dim rows (no defined cosine) never pair."""
+    tau = 0.9
+    a = _planted(spark, n=120, dim=16, n_dups=15, seed=3)
+    b = _planted(spark, n=120, dim=48, n_dups=15, seed=4).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    mixed = a.unionByName(b).repartition(16)  # dims interleave across tasks
+    plan = plan_hyperplane_banding(tau, target_recall=0.9999, max_bits=1024)
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(
+            mixed, tau, plan.bands, plan.rows_per_band
+        ).collect()
+    }
+    want = _exact_pairs(a, tau) | _exact_pairs(b, tau)
+    assert len(want) >= 20
+    missed = want - got
+    assert len(missed) <= max(1, int(0.01 * len(want))), missed
+    assert not (got - want)
+    # and the single-dim draw is unchanged by other dims having been
+    # seen first (pure function of (seed, dim), not of arrival order)
+    alone = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(a, tau, plan.bands, plan.rows_per_band).collect()
+    }
+    assert alone == {p for p in got if p[0] < 10_000 and p[1] < 10_000}
 
 
 def test_identical_vector_skew_is_salted(spark):
