@@ -60,17 +60,140 @@ def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     return np.unique(mins)
 
 
+def _mod_pows(base: int, n: int, mod: int) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod `mod` as int64, O(n): a 4096-entry
+    scalar table outer-multiplied by the block powers (base^4096)^q —
+    both factors < 2^31, so the int64 product never overflows."""
+    K = 1 << 12
+    small = np.empty(min(K, n), dtype=np.int64)
+    x = 1
+    for j in range(small.size):
+        small[j] = x
+        x = (x * base) % mod
+    if n <= K:
+        return small[:n]
+    nq = (n + K - 1) // K
+    big = np.empty(nq, dtype=np.int64)
+    bk = pow(base, K, mod)
+    y = 1
+    for qi in range(nq):
+        big[qi] = y
+        y = (y * bk) % mod
+    return ((big[:, None] * small[None, :]) % mod).reshape(-1)[:n]
+
+
+def batch_winnow_fingerprints(
+    texts, window: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints for a WHOLE batch of texts in flat
+    vectorized passes — the substring analog of hashing._fold_stream
+    (round-4 VERDICT item 6: the per-doc Python loop was the last
+    interpreted hot loop on this pass).
+
+    Returns (flat int64 fingerprint values, int64 doc offsets): doc i's
+    fingerprints are values[offsets[i]:offsets[i+1]], identical to
+    winnow(rolling_window_hashes(t, window), w) per doc.
+
+    Shape: all byte streams concatenate into one array; the polynomial
+    window hash runs in O(stream) TOTAL work via prefix hashes —
+    h[i] = P[i+window] - P[i]·B^window (mod M), with the prefix P
+    itself vectorized as P[i] = B^i · cumsum(b[j]·B^-(j+1)) using the
+    modular inverse of B (M = 2^31-1 is a Mersenne PRIME, so inverses
+    exist) — congruent to the per-doc matmul's sum b[i+j]·B^(window-1-j)
+    and ~window× less arithmetic than either the matmul or a Horner
+    sweep. Windows crossing doc boundaries are masked out. The
+    winnowing sliding-min runs as one strided-view reduction, with
+    short hash segments (< w hashes) handled by a reduceat min. Per-doc
+    dedup is one lexsort over (doc, value)."""
+    n_docs = len(texts)
+    bufs = [(t or "").encode("utf-8", errors="replace") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n_docs)
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    N = int(doc_off[-1])
+    if N < window:
+        return np.empty(0, dtype=np.int64), np.zeros(n_docs + 1, dtype=np.int64)
+    if N >= 1 << 31:
+        raise ValueError(f"fingerprint batch stream {N} bytes >= 2^31")
+    b = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+
+    # prefix hashes: P[i] = sum_{j<i} b[j]*B^(i-1-j) mod M, computed as
+    # B^i * cumsum(b[j]*B^-(j+1)). Terms are reduced mod M (< 2^31)
+    # BEFORE the cumsum, so the raw int64 running sum stays < 2^62 for
+    # any stream under 2^31 bytes (guarded above).
+    M = N - window + 1
+    bp = _mod_pows(int(ROLL_BASE), N + 1, int(ROLL_MOD))
+    ip = _mod_pows(pow(int(ROLL_BASE), int(ROLL_MOD) - 2, int(ROLL_MOD)), N + 1, int(ROLL_MOD))
+    q = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum((b * ip[1 : N + 1]) % ROLL_MOD, out=q[1:])
+    q %= ROLL_MOD
+    pfx = (bp * q) % ROLL_MOD
+    pw_win = pow(int(ROLL_BASE), window, int(ROLL_MOD))
+    acc = (pfx[window : N + 1] - (pfx[:M] * pw_win) % ROLL_MOD) % ROLL_MOD
+    # doc of each window-start byte position, O(N) by repeat (no log-
+    # factor searchsorted over the stream)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:M]
+    valid = np.arange(M, dtype=np.int64) + window <= doc_off[doc_of + 1]
+
+    # per-doc hash segments, contiguous in `acc` order
+    h_doc = doc_of[valid]
+    h = acc[valid]
+    h_off = np.searchsorted(h_doc, np.arange(n_docs + 1))
+    m = h_off[1:] - h_off[:-1]
+
+    sel_doc_parts, sel_val_parts = [], []
+    # long segments (> w hashes): strided sliding min over the flat
+    # hash stream, windows fully inside one doc's segment
+    if h.size >= w:
+        mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        # a window starting at hash i belongs to doc h_doc[i]; it is
+        # in-segment iff its last hash is still in that doc
+        d = h_doc[: mins.size]
+        ok = np.arange(mins.size, dtype=np.int64) + w <= h_off[d + 1]
+        sel_doc_parts.append(d[ok])
+        sel_val_parts.append(mins[ok])
+    # short segments (0 < m <= w): one min per doc, exactly
+    # winnow()'s hashes.size <= w branch
+    short = np.where((m > 0) & (m <= w))[0]
+    if short.size:
+        # reduceat needs ALL consecutive doc starts (a short-docs-only
+        # start list would run each reduction into the next short doc's
+        # start, crossing every doc in between); empty segments yield
+        # garbage rows that the `short` selection never reads
+        starts_all = np.minimum(h_off[:-1], max(h.size - 1, 0))
+        per_doc_min = np.minimum.reduceat(h, starts_all)
+        sel_doc_parts.append(short)
+        sel_val_parts.append(per_doc_min[short])
+    if not sel_doc_parts:
+        return np.empty(0, dtype=np.int64), np.zeros(n_docs + 1, dtype=np.int64)
+    sel_doc = np.concatenate(sel_doc_parts)
+    sel_val = np.concatenate(sel_val_parts)
+
+    # per-doc dedup on ONE fused sort key (doc << 31 | value): values
+    # are < 2^31 and Arrow batches are  << 2^32 docs, so the key is
+    # collision-free in int64 and a single-key sort beats a 2-key
+    # lexsort ~2x
+    key = (sel_doc << np.int64(31)) | sel_val
+    key = np.sort(key)
+    keep = np.ones(key.size, dtype=bool)
+    keep[1:] = key[1:] != key[:-1]
+    key = key[keep]
+    d = key >> np.int64(31)
+    v = key & np.int64((1 << 31) - 1)
+    return v, np.searchsorted(d, np.arange(n_docs + 1))
+
+
 def fingerprint_udf(window: int = 64, w: int = 32):
-    """text -> array<long> winnowed fingerprints."""
+    """text -> array<long> winnowed fingerprints (whole-batch
+    vectorized core; see batch_winnow_fingerprints)."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
     def _fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = rolling_window_hashes(t or "", window)
-            out.append(winnow(h, w).tolist())
-        return pd.Series(out)
+        vals, offs = batch_winnow_fingerprints(texts.tolist(), window, w)
+        return pd.Series(
+            [vals[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
+        )
 
     return _fp
 
