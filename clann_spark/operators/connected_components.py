@@ -137,6 +137,7 @@ def connected_components(
         return (row["n"], row["h"])
 
     fp = _fingerprint(e)
+    edges_per_round = [fp[0]]
     for i in range(max_iter):
         # localCheckpoint every round: each star is 2 shuffles and the
         # convergence check re-executes the plan, so an uncut lineage
@@ -144,6 +145,7 @@ def connected_components(
         e2 = _small_star(_large_star(e)).localCheckpoint()
         fp2 = _fingerprint(e2)
         e = e2
+        edges_per_round.append(fp2[0])
         if fp2 == fp:
             break
         fp = fp2
@@ -153,4 +155,9 @@ def connected_components(
     # final edges are (node -> component min) stars; add the roots
     assign = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = assign.select(F.col("cluster_id").alias("doc_id"), F.col("cluster_id")).distinct()
-    return assign.union(roots).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    out = assign.union(roots).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    # scale observability (tests pin the O(log n) round bound and the
+    # bounded per-round edge growth): rounds run + distinct edge count
+    # after each round, including the input round 0
+    out._clann_cc_stats = {"rounds": i + 1, "edges_per_round": edges_per_round}
+    return out
