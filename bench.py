@@ -41,7 +41,10 @@ def _e2e(spark, docs, cfg, pair_mode="auto"):
     # unpersist EVERY intermediate: Spark's CacheManager matches
     # semantically-equal plans, so a leftover cache would make a
     # repeated timing run read caches instead of executing
+    from clann_spark.session import unpersist_intermediates
+
     res.signatures.unpersist()
+    unpersist_intermediates(res.candidates)  # incl. the salted bucket cache
     res.candidates.unpersist()
     res.verified.unpersist()
     return row
@@ -237,9 +240,10 @@ def stage_run(master: str, factor: int) -> dict:
     timed("signatures", sigs.count)
 
     # operator CONSTRUCTION must happen inside the timed thunk:
-    # candidate_pairs runs its census count eagerly at call time and
     # connected_components resolves small graphs on the driver at call
     # time — timing only .count() would attribute that work to no stage
+    # (candidate_pairs has no eager work since round 4, but keeping
+    # construction inside the thunk stays correct either way)
     def _cands():
         c = candidate_pairs(explode_bands(sigs, cfg), cfg, "auto").persist()
         c.count()

@@ -18,22 +18,28 @@ pairs of docs sharing a bucket. Two pair modes:
            clique would blow up (measured: the 1000-copy skew fixture
            runs 8x faster with identical final clusters).
 
-ONE-EXCHANGE PLAN (round 4). Rounds 1-3 built this stage as census
-aggregation -> size-gated broadcast of the census -> join-back ->
-self-join on (band_hash, salt): two shuffles of the bucket table plus,
-below the gate, a flat 20-30 s driver collect+broadcast at a 2M-doc
-census — the dominant parallelism-INDEPENDENT term in the e2e scaling
-measurement (BASELINE.md round-4 attribution). The redesign hashes the
-bucket table by band_hash ONCE; everything downstream — the per-bucket
-census (a window count), singleton drop, mega-bucket salting, anchor
-minima, and the clique self-join — runs co-partitioned with NO further
-exchange (Spark reuses the single Exchange for both self-join sides,
-and HashPartitioning(band_hash) satisfies the (band_hash, salt) join's
-clustering requirement because the join key is a superset). There is
-no broadcast and no driver action anywhere in the stage: it runs
-unchanged at any census size, including the 10^12-doc regime where the
+ONE-EXCHANGE, JOIN-FREE PLAN (round 5). Rounds 1-3 built this stage as
+census aggregation -> size-gated broadcast of the census -> join-back
+-> self-join on (band_hash, salt): two shuffles of the bucket table
+plus, below the gate, a flat 20-30 s driver collect+broadcast at a
+2M-doc census — the dominant parallelism-INDEPENDENT term in the e2e
+scaling measurement (BASELINE.md round-4 attribution). Round 4 moved
+to a single logical exchange with a clique SELF-JOIN riding it — but
+at runtime each join side (plus the anchor window in auto mode)
+re-executed the explode+exchange+window, because AQE's shuffle-stage
+reuse does not fire when the exchange's subtree scans a cached
+relation (the pipeline persists signatures): 3x 240 MB identical
+shuffle writes at 500k docs. Round 5 removes the join entirely: hash
+the bucket table by band_hash ONCE; census (window count), singleton
+drop, mega-bucket salting, and a collapse to one array row per
+(band_hash, salt) group all run co-partitioned with no further
+exchange, and pairs stream out of generators over the sorted member
+arrays (position order = doc_id order, so a < b is free). One
+physical read of one physical exchange, no broadcast, no driver
+action at any census size — including the 10^12-doc regime where the
 old census could never have been broadcast. tests/test_plans.py pins
-the single-exchange property.
+the single-exchange and no-join properties; BASELINE.md round 5
+records the measured shuffle-volume drop.
 
 Skew handling (north_rule explicit requirement; the reference has
 none — collection.hpp:415-441 loops whole segments unconditionally):
@@ -44,16 +50,17 @@ depends on the band hash, different bands split a mega-cluster
 differently, so connectivity across subgroups is restored by the
 other bands (and by CC transitivity). Note the one-exchange plan
 co-locates a whole bucket in one partition, so salting bounds pair
-EXPLOSION but not single-partition residence; a bucket whose raw rows
-alone exceed a partition's memory budget (>>bucket_cap) is handled by
-the anchor path (auto mode), which emits m-1 rows from a single
-sorted pass and never buffers the m^2 join group.
+EXPLOSION and per-GROUP array size (~cap members), but not
+single-partition residence; a bucket whose raw rows alone exceed a
+partition's memory budget (>>bucket_cap) is handled by the anchor
+path (auto mode), which emits m-1 rows from a single generator pass
+and never enumerates the m^2 pair set.
 
 Sketch prefilter fusion (J7, filterer.hpp:20-32): pass
 sketch_col/hamming_threshold to carry a per-doc int64 fingerprint
 through the exchange (+8 B/row) and drop far pairs with one
-bit_count(a^b) predicate INSIDE the pair join — replacing the two
-post-hoc shuffle joins of the old prefilter_pairs_by_simhash step
+bit_count(a^b) predicate between the pair generators — replacing the
+two post-hoc shuffle joins of the old prefilter_pairs_by_simhash step
 (verify.py keeps that form for pair lists that arrive without bucket
 context, e.g. loaded stage tables).
 """
@@ -119,68 +126,84 @@ def salted_buckets(
     )
 
 
+def grouped_buckets(
+    bucket_df: DataFrame, cfg: DedupConfig, extra_cols: tuple = ()
+) -> DataFrame:
+    """salted_buckets collapsed to ONE row per (band_hash, salt) group:
+    (band_hash, salt, cnt, ds: array<struct<doc_id [, extra...]>>),
+    ds sorted ascending by doc_id (struct sort is field-order, doc_id
+    first; doc_ids are unique within a bucket, so the order is total).
+
+    The aggregation rides the same hashpartitioning(band_hash) the
+    census window already established (ClusteredDistribution accepts
+    subset partitioning), so collapsing adds NO exchange — and it
+    collapses only SURVIVORS (cnt >= 2 rows). Group arrays are bounded
+    by ~cfg.bucket_cap via salting, the same residence bound the
+    window-based plan had; the object-hash aggregate spills between
+    groups under memory pressure.
+    """
+    b = salted_buckets(bucket_df, cfg, extra_cols=extra_cols)
+    # array_distinct: a doc CAN land twice in one group when two of its
+    # bands hash equal (the embedding-LSH bucket source does not fold
+    # the band index into the hash) — its struct rows are identical
+    # (extra cols are per-doc), so distinct collapses them; the old
+    # self-join's strict a < b predicate excluded those self-pairs.
+    return b.groupBy("band_hash", "salt").agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.struct("doc_id", *extra_cols)))
+        ).alias("ds"),
+        F.first("cnt").alias("cnt"),
+    )
+
+
+def _sketch_pred(lhs: str, rhs: str, sketch_col: str, threshold: int):
+    return F.expr(f"bit_count({lhs}.{sketch_col} ^ {rhs}.{sketch_col})") <= F.lit(
+        threshold
+    )
+
+
 def _clique(
-    b: DataFrame,
-    key: list,
+    g: DataFrame,
     sketch_col: str | None = None,
     hamming_threshold: int | None = None,
 ) -> DataFrame:
-    """All within-group pairs via a co-partitioned merge self-join.
-
-    Both inputs project from the same child, so Spark plans a single
-    reused Exchange; the join itself adds only in-partition sorts.
-    With a sketch column, far pairs die inside the join output before
-    the cross-band distinct ever sees them.
+    """All within-group pairs, join-free: each grouped row streams its
+    m(m-1)/2 ordered pairs through two generators (posexplode the
+    sorted member array, then explode each member's suffix slice).
+    Because ds is sorted by doc_id, position order IS value order —
+    a < b needs no comparison, and no SortMergeJoin, no in-partition
+    sorts, and no second read of the bucket exchange exist at all
+    (the round-4 self-join re-executed the 240 MB exchange once per
+    side: AQE's stage reuse does not fire when the subtree reads a
+    cached relation). With a sketch column, far pairs die between the
+    generators, before the cross-band distinct sees them.
     """
-    lcols = [*key, F.col("doc_id").alias("a")]
-    rcols = [*key, F.col("doc_id").alias("b")]
-    if sketch_col is not None:
-        lcols.append(F.col(sketch_col).alias("_sk_a"))
-        rcols.append(F.col(sketch_col).alias("_sk_b"))
-    # merge hint: Catalyst's size estimate at small inputs would pick a
-    # BroadcastHashJoin whose build side re-computes the entire upstream
-    # subtree (signatures included) for the broadcast; the merge join
-    # instead rides the single reused exchange at EVERY size — both
-    # sides are already co-partitioned by band_hash, so it adds only
-    # in-partition sorts.
-    pairs = (
-        b.select(*lcols)
-        .join(b.select(*rcols).hint("shuffle_merge"), key)
-        .where(F.col("a") < F.col("b"))
+    e = g.select(F.posexplode("ds").alias("_i", "_x"), "ds").select(
+        "_x", F.expr("slice(ds, _i + 2, size(ds) - _i - 1)").alias("_rest")
     )
+    p = e.select("_x", F.explode("_rest").alias("_y"))
     if sketch_col is not None and hamming_threshold is not None:
-        pairs = pairs.where(
-            F.expr("bit_count(_sk_a ^ _sk_b)") <= F.lit(hamming_threshold)
-        )
-    return pairs.select("a", "b")
+        p = p.where(_sketch_pred("_x", "_y", sketch_col, hamming_threshold))
+    return p.select(F.col("_x.doc_id").alias("a"), F.col("_y.doc_id").alias("b"))
 
 
 def _anchor(
-    b: DataFrame,
-    key: list,
+    g: DataFrame,
     sketch_col: str | None = None,
     hamming_threshold: int | None = None,
 ) -> DataFrame:
-    """Spanning edges to each group's min doc_id — join-free.
-
-    The anchor (and, when sketch-filtering, its fingerprint) is a
-    window MIN over the already-partitioned group: a struct min keyed
-    by doc_id, so no join and no extra exchange. m-1 edges stream out
-    of one sorted pass regardless of group size — this is why auto
-    mode routes mega-buckets here.
+    """Spanning edges to each group's min doc_id — m-1 edges stream
+    out of one generator regardless of group size (ds[0] is the anchor:
+    the array is sorted by doc_id, matching the struct-min the window
+    form used). This is why auto mode routes mega-buckets here.
     """
-    w = Window.partitionBy(*key)
-    if sketch_col is not None:
-        mn = F.min(F.struct("doc_id", sketch_col)).over(w)
-        b = b.withColumn("_anchor", mn["doc_id"]).withColumn("_anchor_sk", mn[sketch_col])
-    else:
-        b = b.withColumn("_anchor", F.min("doc_id").over(w))
-    pairs = b.where(F.col("doc_id") != F.col("_anchor"))
+    e = g.select(
+        F.col("ds")[0].alias("_a"),
+        F.explode(F.expr("slice(ds, 2, size(ds) - 1)")).alias("_y"),
+    )
     if sketch_col is not None and hamming_threshold is not None:
-        pairs = pairs.where(
-            F.expr(f"bit_count(_anchor_sk ^ {sketch_col})") <= F.lit(hamming_threshold)
-        )
-    return pairs.select(F.col("_anchor").alias("a"), F.col("doc_id").alias("b"))
+        e = e.where(_sketch_pred("_a", "_y", sketch_col, hamming_threshold))
+    return e.select(F.col("_a.doc_id").alias("a"), F.col("_y.doc_id").alias("b"))
 
 
 def candidate_pairs(
@@ -201,19 +224,38 @@ def candidate_pairs(
     sketch_col per row (explode_bands(..., extra_cols=[...])). The
     filter commutes with the cross-band distinct, so the surviving
     pair set equals running prefilter_pairs_by_simhash afterwards.
+
+    Plan shape (round 5): the stage reads the bucket exchange EXACTLY
+    once. grouped_buckets collapses the salted survivors to one row
+    per group on the same partitioning, and pair generation is pure
+    generators — no self-join exists anymore. The round-4 form joined
+    the salted table with itself, and each join side (plus the anchor
+    window in auto mode) re-executed the full explode+exchange+window
+    because AQE's shuffle-stage reuse does not fire when the subtree
+    scans a cached relation (the production pipeline persists the
+    signature table): measured 3x 240 MB identical shuffle writes at
+    500k docs — 60% of the e2e job's total shuffle volume, now 1x.
+    In auto mode the (small, survivors-only) grouped table is
+    persisted so its two consumers don't re-run the exchange either;
+    it is registered on the result via track_cache for streaming
+    callers to release.
     """
     extra = (sketch_col,) if sketch_col is not None else ()
-    b = salted_buckets(bucket_df, cfg, extra_cols=extra)
-    key = ["band_hash", "salt"]
+    g = grouped_buckets(bucket_df, cfg, extra_cols=extra)
     args = (sketch_col, hamming_threshold)
+    cached = ()
     if mode == "anchor":
-        pairs = _anchor(b, key, *args)
+        pairs = _anchor(g, *args)
     elif mode == "clique":
-        pairs = _clique(b, key, *args)
+        pairs = _clique(g, *args)
     elif mode == "auto":
-        pairs = _clique(b.where(F.col("cnt") <= anchor_threshold), key, *args).union(
-            _anchor(b.where(F.col("cnt") > anchor_threshold), key, *args)
+        g = g.persist()
+        cached = (g,)
+        pairs = _clique(g.where(F.col("cnt") <= anchor_threshold), *args).union(
+            _anchor(g.where(F.col("cnt") > anchor_threshold), *args)
         )
     else:
         raise ValueError(f"unknown pair mode {mode!r}")
-    return pairs.dropDuplicates(["a", "b"])
+    from clann_spark.session import track_cache
+
+    return track_cache(pairs.dropDuplicates(["a", "b"]), *cached)

@@ -82,18 +82,19 @@ def run_dedup(
     if persist_signatures:
         sigs = sigs.persist()
 
-    # The bucket table is consumed by both sides of the clique self-join
-    # but exploding from the persisted slim signatures is a trivial
-    # narrow op — caching 32x more rows costs more memory churn than
-    # the recompute. (In the checkpointed pipeline the bucket table IS
+    # The bucket explode from the persisted slim signatures is a
+    # trivial narrow op, and the round-5 candidate stage reads it (and
+    # its exchange) exactly ONCE — pair generation is join-free, so no
+    # consumer re-executes the explode (candidates.py module
+    # docstring). (In the checkpointed pipeline the bucket table IS
     # written once as a stage table — sources/stages.py.)
     #
-    # J7 sketch filter (filterer.hpp:20-32) is FUSED into the pair
-    # join: the 60-bit fingerprint rides the bucket rows (+8 B/row
-    # through candidate_pairs' single exchange) and far pairs die on a
-    # bit_count predicate inside the join — no post-hoc joins against
-    # the signature table, and the cross-band distinct shuffles only
-    # the survivors.
+    # J7 sketch filter (filterer.hpp:20-32) is FUSED into pair
+    # generation: the 60-bit fingerprint rides the bucket rows
+    # (+8 B/row through candidate_pairs' single exchange) and far
+    # pairs die on a bit_count predicate between the pair generators —
+    # no post-hoc joins against the signature table, and the
+    # cross-band distinct shuffles only the survivors.
     threshold = cfg.hamming_threshold
     extra = ("simhash",) if threshold is not None else ()
     buckets = explode_bands(sigs, cfg, extra_cols=extra)

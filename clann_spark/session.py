@@ -93,13 +93,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Accept subset co-partitioning for joins: the candidate clique
-        # self-join keys on (band_hash, salt) over children hashed by
-        # band_hash alone — valid co-location (salt is a function of
-        # rows within one band_hash) that this flag (default true since
-        # Spark 3.3) would otherwise "fix" with two redundant full
-        # exchanges of the bucket table (candidates.py one-exchange
-        # plan, pinned in tests/test_plans.py).
+        # Accept subset co-partitioning for joins keyed on a superset
+        # of a child's hash partitioning (e.g. a (band_hash, salt) join
+        # over children hashed by band_hash alone — salt is a function
+        # of rows within one band_hash). The round-5 candidate stage is
+        # join-free and no longer needs this, but query-mode band joins
+        # and the grouped aggregation still benefit; the flag (default
+        # true since Spark 3.3) would otherwise "fix" such plans with
+        # redundant full exchanges.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # multi-JVM modes (local-cluster / standalone): executors must
         # also see the package

@@ -43,11 +43,16 @@ def test_signature_stage_is_narrow(spark, sf_dir):
 
 
 def test_candidates_stage_is_one_exchange(spark, sf_dir):
-    """Round-4 invariant: census, singleton drop, salting AND the
-    clique pair join all hang off a single hashpartitioning(band_hash)
-    exchange — no broadcast, no second shuffle, no driver action
+    """Round-5 invariant: census, singleton drop, salting, the group
+    collapse AND pair generation all hang off a single
+    hashpartitioning(band_hash) exchange — no join of any kind, no
+    broadcast, no second shuffle of the bucket table, no driver action
     (candidates.py module docstring). The only other exchange in the
-    full candidate plan is the unavoidable cross-band distinct."""
+    full candidate plan is the unavoidable cross-band distinct. (The
+    round-4 clique SELF-join nominally rode one logical exchange, but
+    each join side re-executed it at runtime — AQE stage reuse doesn't
+    fire above a cached relation — so the 'one exchange' was written
+    2-3x: 720 MB of 790 MB total e2e shuffle at 500k docs.)"""
     from clann_spark.operators.candidates import candidate_pairs, salted_buckets
 
     def _simple(df) -> str:
@@ -66,18 +71,82 @@ def test_candidates_stage_is_one_exchange(spark, sf_dir):
     assert "BroadcastExchange" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
-    pairs = candidate_pairs(explode_bands(sigs, CFG), CFG, mode="clique")
+    pairs = candidate_pairs(
+        explode_bands(sigs, CFG, extra_cols=("simhash",)),
+        CFG,
+        mode="clique",
+        sketch_col="simhash",
+        hamming_threshold=CFG.hamming_threshold,
+    )
     pplan = _simple(pairs)
     assert "BroadcastExchange" not in pplan
-    # the self-join must ride the band_hash exchanges directly (AQE
-    # dedups the two canonically-equal sides into one shuffle at
-    # runtime); EnsureRequirements must NOT insert (band_hash, salt)
-    # re-shuffles — subset co-partitioning is accepted via
-    # requireAllClusterKeysForCoPartition=false (session.py)
+    # pair generation is join-free generators over the grouped arrays
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in pplan, pplan
+    # exactly TWO shuffles exist: the band_hash bucket exchange and the
+    # cross-band distinct on (a, b); EnsureRequirements must not insert
+    # (band_hash, salt) re-shuffles anywhere
+    assert pplan.count("Exchange hashpartitioning") == 2, pplan
     for ln in pplan.splitlines():
         if "Exchange hashpartitioning" in ln and "salt" in ln:
             raise AssertionError(f"redundant salted re-shuffle: {ln}")
-    assert "SortMergeJoin" in pplan
+
+
+def test_candidates_auto_mode_runs_bucket_exchange_once(spark, sf_dir):
+    """Runtime pin of the round-5 property: one e2e auto-mode candidate
+    materialization writes the bucket-table exchange EXACTLY once, even
+    with the signature table cached below it (the configuration where
+    AQE stage reuse silently fails and round 4 wrote it 3x). Asserted
+    from the Spark status store: total shuffle-WRITE records across the
+    query's stages must be ~one bucket-table's worth (docs x bands
+    survivor rows + the small distinct), not 2-3x."""
+    from clann_spark.operators.candidates import candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sigs = compute_signatures(
+        docs, CFG, include_shingles=False, include_sig=False, drop_text=True
+    ).persist()
+    sigs.count()
+    n_bucket_rows = explode_bands(sigs, CFG).count()
+
+    def _stage_write_records() -> dict[int, int]:
+        gw = spark.sparkContext._gateway
+        jvm = gw.jvm
+        store = spark.sparkContext._jsc.sc().statusStore()
+        lst = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        return {
+            lst.apply(i).stageId(): int(lst.apply(i).shuffleWriteRecords())
+            for i in range(lst.size())
+        }
+
+    pre = _stage_write_records()
+    cands = candidate_pairs(
+        explode_bands(sigs, CFG, extra_cols=("simhash",)),
+        CFG,
+        mode="auto",
+        sketch_col="simhash",
+        hamming_threshold=CFG.hamming_threshold,
+    )
+    n_pairs = cands.count()
+    post = _stage_write_records()
+    new_writes = sum(v for k, v in post.items() if k not in pre)
+    # one bucket-table write (<= n_bucket_rows; singletons still ship,
+    # they are dropped after the exchange) + the distinct's pair rows.
+    # A second bucket-table write would at least double this.
+    assert new_writes <= n_bucket_rows + n_pairs + 1000, (
+        f"bucket exchange written more than once: {new_writes} shuffle "
+        f"records for {n_bucket_rows} bucket rows / {n_pairs} pairs"
+    )
+    from clann_spark.session import unpersist_intermediates
+
+    unpersist_intermediates(cands)
+    sigs.unpersist()
 
 
 def test_bruteforce_knn_broadcasts_queries(spark, embeddings):
