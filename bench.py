@@ -443,14 +443,20 @@ def main() -> None:
     # `bench.py --scaling-only` — surface a COMPACT summary so the
     # per-round bench JSON carries the evidence without blowing the
     # one-line budget; full provenance stays in SCALING_RESULT.json
-    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "SCALING_RESULT.json")
-    if os.path.exists(rec):
-        try:
-            with open(rec) as f:
-                out["scaling_recorded"] = _compact_scaling(json.load(f))
-        except (OSError, json.JSONDecodeError):
-            pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (
+        ("scaling_recorded", "SCALING_RESULT.json"),
+        # the 1-core-per-executor N vs 4N protocol keeps its own
+        # history file (separate executor shape, separate median)
+        ("scaling_recorded_1to4", "SCALING_RESULT_1TO4.json"),
+    ):
+        rec = os.path.join(here, fname)
+        if os.path.exists(rec):
+            try:
+                with open(rec) as f:
+                    out[key] = _compact_scaling(json.load(f))
+            except (OSError, json.JSONDecodeError):
+                pass
 
     print(json.dumps(out))
 
@@ -666,11 +672,17 @@ if __name__ == "__main__":
         # A CLEAN result (efficiency recorded, i.e. bracketed by
         # passing controls) is persisted to SCALING_RESULT.json so the
         # headline bench can report it as `scaling_recorded`.
+        # SPARK_GRAFT_SCALING_RECORD names an alternate record file so
+        # different executor-shape protocols (e.g. the 1-core-per-
+        # executor N vs 4N pair) keep separate histories — their pair
+        # efficiencies must never blend into one median.
         _warn_if_thp_active()
         result = scaling_protocol(_base_doc_count())
         if not result.get("forced"):
-            rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING_RESULT.json")
+            rec = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                os.environ.get("SPARK_GRAFT_SCALING_RECORD", "SCALING_RESULT.json"),
+            )
             merged = _merge_scaling_history(result, rec)
             if merged is not None:
                 with open(rec, "w") as f:
