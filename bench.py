@@ -41,12 +41,7 @@ def _e2e(spark, docs, cfg, pair_mode="auto"):
     # unpersist EVERY intermediate: Spark's CacheManager matches
     # semantically-equal plans, so a leftover cache would make a
     # repeated timing run read caches instead of executing
-    from clann_spark.session import unpersist_intermediates
-
-    res.signatures.unpersist()
-    unpersist_intermediates(res.candidates)  # incl. the salted bucket cache
-    res.candidates.unpersist()
-    res.verified.unpersist()
+    res.unpersist()  # incl. the tracked grouped-bucket cache
     return row
 
 

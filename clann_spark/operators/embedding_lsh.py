@@ -57,8 +57,15 @@ def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     identically, and folding the dim into the band value puts different
     dims in disjoint bucket spaces — the only coherent semantics, since
     vectors of different dims have no cosine and can never be a pair."""
-    if rows_per_band >= 48:
-        raise ValueError("rows_per_band >= 48 collides with the dim tag bits")
+    if rows_per_band >= 63:
+        raise ValueError("rows_per_band must leave the int64 sign bit free")
+    # dim tag placement: disjoint spaces cost 14 bits above the sign
+    # bits. r <= 48 keeps the historical tag at bit 48; 49 <= r <= 62
+    # has no disjoint room left, so the dim is mixed in by XORing a
+    # dim-keyed splitmix constant instead (cross-dim band collision
+    # ~2^-r — still never a systematic collision, and the previously
+    # valid wide-r config space keeps working).
+    tag_shift = 48 if rows_per_band <= 48 else None
     weights = (1 << np.arange(rows_per_band, dtype=np.int64))[None, None, :]
     state: dict = {}
 
@@ -77,11 +84,17 @@ def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
             state[dim] = planes
         bits = (x @ planes >= 0).reshape(len(x), bands, rows_per_band)
         vals = (bits * weights).sum(axis=2)
-        # disjoint band spaces per dim (r sign bits < 2^48): same-dim
-        # pairs unaffected; cross-dim band collisions — which could
-        # only waste verify work or split same-dim mega-buckets
-        # differently — become impossible
-        return vals + (np.int64(dim) << np.int64(48))
+        # disjoint band spaces per dim (r sign bits below the tag):
+        # same-dim pairs unaffected; cross-dim band collisions — which
+        # could only waste verify work or split same-dim mega-buckets
+        # differently — become impossible (or ~2^-r for wide r, where
+        # the dim is splitmix-XOR-mixed instead)
+        if tag_shift is not None:
+            return vals + (np.int64(dim) << np.int64(tag_shift))
+        from clann_spark.functions.hashing import _splitmix_step
+
+        const = _splitmix_step(np.array([dim], dtype=np.uint64))[0]
+        return (vals.view(np.uint64) ^ const).view(np.int64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _bands(vecs: pd.Series) -> pd.Series:
@@ -127,13 +140,13 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
 
     def _vals_for_dim(x: np.ndarray) -> np.ndarray:
         dim = x.shape[1]
+        dim = int(dim)
+        if dim >= 1 << 14:
+            raise ValueError(f"embedding dim {dim} >= 16384 unsupported")
         diagonals = state.get(dim)
         if diagonals is None:
             # pure function of (seed, dim) — identical across tasks, so
-            # mixed-dim columns hash each dim consistently (ADVICE r4);
-            # the 60-bit splitmix folds below make cross-dim band
-            # collisions ~2^-60, i.e. dims occupy disjoint spaces
-            # without an explicit tag
+            # mixed-dim columns hash each dim consistently (ADVICE r4)
             diagonals = cp_diagonals(bands * rows_per_band, next_pow2(dim), seed)
             state[dim] = diagonals
         codes = cp_codes(x, diagonals).astype(np.uint64).reshape(
@@ -143,7 +156,16 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
         acc ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x100000001B3)
         for j in range(rows_per_band):
             acc = _splitmix_step(acc ^ codes[:, :, j])
-        return (acc >> np.uint64(4)).astype(np.int64)
+        # 46 fold bits + an explicit dim tag at bit 46. The tag is NOT
+        # redundant with the keyed diagonal draw: dims sharing
+        # next_pow2(dim) get IDENTICAL diagonals, so a padded vector
+        # whose trailing components are ~0 produces the same CP codes
+        # as its shorter-dim prefix — a systematic (not 2^-60)
+        # cross-dim collision. The tag makes dim spaces disjoint;
+        # same-dim selectivity at 2^46 band space is unaffected.
+        return (
+            (acc >> np.uint64(18)) | (np.uint64(dim) << np.uint64(46))
+        ).astype(np.int64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _bands(vecs: pd.Series) -> pd.Series:
@@ -218,13 +240,27 @@ def embedding_lsh_pairs(
 
         @F.pandas_udf(DoubleType())
         def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-            if len(va) == 0:
+            n = len(va)
+            if n == 0:
                 return pd.Series([], dtype=np.float64)
-            x = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
-            y = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
-            num = (x * y).sum(axis=1)
-            den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-            return pd.Series(num / np.maximum(den, 1e-300))
+            a, b = va.to_numpy(), vb.to_numpy()
+            la = np.fromiter((len(v) for v in a), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in b), dtype=np.int64, count=n)
+            # mixed-dim corpora land same-dim pairs of several dims in
+            # one Arrow batch (a bare vstack would raise on the ragged
+            # rows); group by dim and score each group vectorized. A
+            # dim-mismatched pair has no cosine — score NaN, which the
+            # caller's `cos >= tau` filter drops.
+            out = np.full(n, np.nan)
+            eq = la == lb
+            for dim in np.unique(la[eq]):
+                idx = np.nonzero(eq & (la == dim))[0]
+                x = np.vstack([a[i] for i in idx]).astype(np.float64, copy=False)
+                y = np.vstack([b[i] for i in idx]).astype(np.float64, copy=False)
+                num = (x * y).sum(axis=1)
+                den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+                out[idx] = num / np.maximum(den, 1e-300)
+            return pd.Series(out)
 
         scored = j.select("a", "b", _cos("va", "vb").alias("cos"))
     else:

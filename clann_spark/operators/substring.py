@@ -158,10 +158,16 @@ def batch_winnow_fingerprints(
     if short.size:
         # reduceat needs ALL consecutive doc starts (a short-docs-only
         # start list would run each reduction into the next short doc's
-        # start, crossing every doc in between); empty segments yield
-        # garbage rows that the `short` selection never reads
-        starts_all = np.minimum(h_off[:-1], max(h.size - 1, 0))
-        per_doc_min = np.minimum.reduceat(h, starts_all)
+        # start, crossing every doc in between); mid-stream empty
+        # segments yield garbage rows that the `short` selection never
+        # reads. TRAILING empty docs (start == h.size) must be dropped,
+        # not clamped: reduceat rejects out-of-range starts, and a
+        # clamped start would end the previous doc's segment one hash
+        # early, truncating its min. Every short doc has m > 0, so its
+        # index is < L and its segment (the last one runs to the end of
+        # h) is exact.
+        L = int(np.searchsorted(h_off[:-1], h.size))
+        per_doc_min = np.minimum.reduceat(h, h_off[:L])
         sel_doc_parts.append(short)
         sel_val_parts.append(per_doc_min[short])
     if not sel_doc_parts:

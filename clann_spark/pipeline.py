@@ -53,6 +53,24 @@ class DedupResult:
     clusters: DataFrame        # doc_id, cluster_id (only docs in a dup pair)
     assignments: DataFrame     # doc_id, cluster_id for ALL docs
 
+    def unpersist(self) -> None:
+        """Release every cache run_dedup registered: the persisted
+        signatures/candidates/verified stages plus any intermediates
+        candidate_pairs tracked on the candidates frame (auto mode
+        persists the grouped bucket table for its two consumers).
+        Long-lived sessions running many pipelines MUST call this after
+        consuming the results, or executor storage grows per call.
+        Safe to call repeatedly; the plans stay valid (blocks simply
+        recompute if re-executed)."""
+        from clann_spark.session import unpersist_intermediates
+
+        unpersist_intermediates(self.candidates)
+        for df in (self.verified, self.candidates, self.signatures):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def run_dedup(
     docs: DataFrame,

@@ -163,6 +163,14 @@ class StageRunner:
         df = builder()
         df.write.mode("overwrite").parquet(self._stage_dir(name))
         wall_ms = int((time.time() - t0) * 1000)
+        # the stage is committed; caches the builder registered for its
+        # own consumers (e.g. candidate_pairs auto mode persists the
+        # grouped bucket table) are dead weight now — release them, or
+        # a long-lived session running many checkpointed pipelines
+        # accumulates executor storage per call
+        from clann_spark.session import unpersist_intermediates
+
+        unpersist_intermediates(df)
 
         files = self._per_file_rows(name)
         counters = {}

@@ -190,7 +190,18 @@ def _bootstrap_buckets(
     are folded into the bootstrap base (one-time O(state) rebuild), at
     base-<K> with K = first batch id NOT covered by existing state, so
     later batch reads see exactly the committed docs' bucket rows.
-    Idempotent: gated on the base dir's _SUCCESS."""
+    Idempotent: gated on the base dir's _SUCCESS.
+
+    Corpus identity: the base is valid only for the corpus it was
+    built from, so _buckets/_meta.json records a corpus fingerprint
+    (row count + order-independent bit_xor of xxhash64(doc_id, bands)
+    — one aggregate over corpus_sigs, paid once per stream START, not
+    per batch). Restarting the stream with a grown or different corpus
+    rebuilds the base; without this check the first-seen corpus would
+    be frozen into the committed table forever and new corpus docs
+    would silently never match."""
+    import json
+
     from clann_spark.operators.signatures import explode_bands
 
     fs = fs_for(spark, state_dir)
@@ -207,14 +218,26 @@ def _bootstrap_buckets(
                 cov.append(int(name.split("=")[1]) + 1)
         return max(cov)
 
+    fp_row = corpus_sigs.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, bands))").alias("x"),
+    ).first()
+    fingerprint = {"corpus_rows": fp_row["n"], "corpus_xor": fp_row["x"]}
+    meta_path = os.path.join(buckets_dir, "_meta.json")
+    same_corpus = (
+        fs.exists(meta_path) and json.loads(fs.read_text(meta_path)) == fingerprint
+    )
+
     existing = _state_parts(spark, state_dir, before_batch=1 << 62)
     k = _coverage(state_dir)
-    # a restart of an already-migrated stream: the buckets dir covers
-    # everything the docs state does — nothing to (re)build
-    if fs.isdir(buckets_dir) and _coverage(buckets_dir) >= k:
+    # a restart of an already-migrated stream with the SAME corpus: the
+    # buckets dir covers everything the docs state does — nothing to
+    # (re)build. A changed corpus falls through and rebuilds the base
+    # (batch=<id> appends mirror the docs state and stay valid).
+    if same_corpus and fs.isdir(buckets_dir) and _coverage(buckets_dir) >= k:
         return buckets_dir
     target = os.path.join(buckets_dir, f"base-{k}")
-    if fs.exists(os.path.join(target, "_SUCCESS")):
+    if same_corpus and fs.exists(os.path.join(target, "_SUCCESS")):
         return buckets_dir
     rows = corpus_sigs.select("doc_id", "bands")
     if existing:
@@ -233,6 +256,8 @@ def _bootstrap_buckets(
         .write.mode("overwrite")
         .parquet(target)
     )
+    fs.mkdirs(buckets_dir)
+    fs.write_text(meta_path, json.dumps(fingerprint))
     return buckets_dir
 
 
@@ -325,8 +350,25 @@ def stream_dedup_query(
             bucket_state = _read_state(
                 spark, buckets_dir, batch_id, schema=BUCKET_SCHEMA
             )
-            if bucket_state is None:  # defensive: bootstrap always writes
-                bucket_state = spark.createDataFrame([], BUCKET_SCHEMA)
+            if bucket_state is None:
+                # checkpoint replay of a batch OLDER than the bootstrap
+                # base (the layout migrated after this batch's state
+                # committed but before its sink did): base-K with
+                # K > batch_id includes this batch's own docs, so it
+                # must not be read — derive the pre-batch bucket rows
+                # from corpus + docs-state < batch_id instead (the
+                # legacy O(corpus) explode, paid once on this boundary
+                # batch only; every batch >= K uses the committed
+                # table). Matching against an empty table here would
+                # silently re-accept every duplicate in the batch.
+                rows = corpus_sigs.select("doc_id", "bands")
+                if state is not None:
+                    rows = rows.unionByName(state.select("doc_id", "bands"))
+                bucket_state = explode_bands(rows, cfg).select(
+                    F.col("doc_id").cast("long"),
+                    F.col("band_id").cast("int"),
+                    F.col("band_hash").cast("long"),
+                )
             corpus_matches = lsh_text_query(
                 batch_df, corpus_sigs, all_docs, cfg, k=k,
                 query_sigs=q_sigs.select("doc_id", "bands"),

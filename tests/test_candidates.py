@@ -71,3 +71,28 @@ def test_auto_mode_mixes(spark):
     clique_part = {(1, 2), (1, 3), (2, 3)}
     anchor_part = {(10, i) for i in range(11, 30)}
     assert got == clique_part | anchor_part
+
+
+def test_run_dedup_auto_mode_releases_all_caches(spark):
+    """auto mode persists the grouped bucket table for its two
+    consumers; DedupResult.unpersist() must release it (plus the
+    signatures/candidates/verified stage caches), or a long-lived
+    session running many pipelines accumulates executor storage
+    per call."""
+    from clann_spark.pipeline import run_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated sentence about topic {i % 7} " * 8) for i in range(60)],
+        "doc_id long, text string",
+    )
+    res = run_dedup(docs, DedupConfig(signature_impl="fast"), pair_mode="auto")
+    res.assignments.count()
+    # the tracked intermediate exists in auto mode (the wiring under test)
+    tracked = getattr(res.candidates, "_clann_cached", [])
+    assert tracked, "auto mode should register the grouped bucket cache"
+    assert any(c.storageLevel.useMemory for c in tracked)
+    res.unpersist()
+    assert res.candidates._clann_cached == []
+    for df in (res.signatures, res.candidates, res.verified, *tracked):
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), df

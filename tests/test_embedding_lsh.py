@@ -109,6 +109,51 @@ def test_mixed_dim_column_hashes_each_dim_consistently(spark):
     assert alone == {p for p in got if p[0] < 10_000 and p[1] < 10_000}
 
 
+def test_mixed_dim_fast_verify_matches_fold(spark):
+    """verify_impl='fast' must survive mixed-dim corpora: same-dim
+    pairs of several dims land in one Arrow batch, which the old bare
+    np.vstack crashed on. The grouped-by-dim cosine returns exactly the
+    fold path's pair set; dim-mismatched candidates (possible only via
+    hash-family quirks) score NaN and are filtered, never crash."""
+    tau = 0.9
+    a = _planted(spark, n=80, dim=16, n_dups=10, seed=5)
+    b = _planted(spark, n=80, dim=48, n_dups=10, seed=6).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    mixed = a.unionByName(b).repartition(8)
+    plan = plan_hyperplane_banding(tau, target_recall=0.9999, max_bits=1024)
+    kw = dict(tau=tau, bands=plan.bands, rows_per_band=plan.rows_per_band)
+    fold = {(r["a"], r["b"]) for r in embedding_lsh_pairs(mixed, **kw).collect()}
+    fast = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(mixed, verify_impl="fast", **kw).collect()
+    }
+    assert fast == fold and len(fold) >= 10
+
+
+def test_wide_rows_per_band_config_still_works(spark):
+    """rows_per_band in (48, 63) was valid before the dim tag landed
+    and must stay valid: the dim is splitmix-XOR-mixed instead of
+    disjointly tagged. Same-dim recall on planted dups is unaffected."""
+    from clann_spark.operators.embedding_lsh import hyperplane_bands_udf
+
+    with pytest.raises(ValueError):
+        hyperplane_bands_udf(bands=2, rows_per_band=63)
+    # exact duplicates: cos = 1 collides in every band at ANY r, so
+    # recall is deterministic even at r = 50 where near-dups wouldn't be
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100 + j, base[j].tolist()) for j in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_pairs(df, 0.999, bands=4, rows_per_band=50).collect()
+    }
+    want = _exact_pairs(df, 0.999)
+    assert len(want) >= 8 and got == want
+
+
 def test_identical_vector_skew_is_salted(spark):
     """Degenerate corpus: many identical embeddings form one mega
     bucket in every band; the shared candidate machinery salts it

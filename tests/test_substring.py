@@ -178,3 +178,22 @@ def test_batch_winnow_matches_per_doc_reference():
         a = np.sort(vals[offs[i] : offs[i + 1]])
         b = np.sort(vals2[offs2[k + i] : offs2[k + i + 1]])
         assert np.array_equal(a, b)
+
+
+def test_batch_winnow_short_doc_before_trailing_empty():
+    """Regression: a short doc (<= w hashes) whose minimum hash sits at
+    its LAST position, followed by empty docs, must keep that min. The
+    old reduceat start-clamp (h.size - 1) ended the doc's segment one
+    hash early, dropping the trailing min and bucketing the doc wrong."""
+    from clann_spark.operators.substring import batch_winnow_fingerprints
+
+    window, w = 8, 4
+    for tail in ([""], ["", ""], ["", "ab"]):
+        texts = ["ecdcaehbb"] + tail  # 2 hashes; true min is the 2nd
+        vals, offs = batch_winnow_fingerprints(texts, window, w)
+        for i, t in enumerate(texts):
+            want = winnow(rolling_window_hashes(t, window), w)
+            got = vals[offs[i] : offs[i + 1]]
+            assert np.array_equal(np.sort(got), np.sort(np.unique(want))), (
+                tail, i, got, want,
+            )
