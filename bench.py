@@ -20,6 +20,8 @@ Extra modes:
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import statistics
@@ -321,6 +323,26 @@ def _code_sha() -> str:
         return "unknown"
 
 
+def _code_fingerprint() -> str:
+    """Content hash of the MEASURED code (clann_spark/**/*.py +
+    bench.py). Unlike the git SHA, commits that touch only docs or
+    evidence JSON don't change it, so the headline stays scoped to the
+    pairs produced by the engine that is actually in the tree."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = sorted(
+        glob.glob(os.path.join(root, "clann_spark", "**", "*.py"),
+                  recursive=True)
+    ) + [os.path.join(root, "bench.py")]
+    for p in paths:
+        h.update(os.path.relpath(p, root).encode())
+        h.update(b"\0")
+        with open(p, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return "fp-" + h.hexdigest()[:10]
+
+
 def _compact_scaling(rec: dict) -> dict:
     """Slim summary of a scaling record/result for the ONE-LINE headline
     JSON. The driver captures only the tail of stdout, so the headline
@@ -476,6 +498,7 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
         ]
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     sha = _code_sha()
+    fp = _code_fingerprint()
     adj = result.get("adjacent_pair_efficiencies", [])
     controls = result.get("bracketing_controls", [])
     gate = result.get("control_gate", 0.9)
@@ -492,6 +515,7 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
                     "masters": result.get("masters"),
                     "recorded_at": now,
                     "code_sha": sha,
+                    "code_fp": fp,
                 }
             )
     if not history:
@@ -504,14 +528,20 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
         return None
     # Headline scope: pairs measured on superseded code describe a
     # pipeline that no longer exists. With >=2 clean pairs from the
-    # CURRENT commit, the headline is their median; otherwise it falls
-    # back to every clean pair and the version mix is surfaced.
-    # (Entries recorded before code_sha existed count as 'pre-r5'.)
-    current = [h for h in clean if h.get("code_sha") == sha]
+    # CURRENT measured-code fingerprint (content hash — doc-only commits
+    # don't split the scope; falls back to the git SHA for entries
+    # recorded before code_fp existed), the headline is their median;
+    # otherwise it falls back to every clean pair and the version mix is
+    # surfaced. (Entries recorded before either field count as 'pre-r5'.)
+    def _key(h: dict) -> str:
+        return h.get("code_fp") or h.get("code_sha") or "pre-r5"
+
+    current = [h for h in clean if _key(h) in (fp, sha)]
     if len(current) >= 2:
-        scoped, scope = current, f"current code {sha} (n={len(current)})"
+        scoped = current
+        scope = f"current code {sha} ({fp}, n={len(current)})"
     else:
-        shas = sorted({h.get("code_sha", "pre-r5") for h in clean})
+        shas = sorted({_key(h) for h in clean})
         scoped, scope = clean, f"all recorded code versions (mix: {shas})"
     effs = sorted(h["efficiency"] for h in scoped)
     return {

@@ -63,6 +63,9 @@ def test_merge_history_records_sha_and_scopes_headline(tmp_path):
     # spans all clean pairs and surfaces the version mix
     m1 = _merge_scaling_history(_fake_result([0.80], [0.95, 0.96]), rec)
     assert m1["clean_pairs_history"][-1]["code_sha"] == _code_sha()
+    from bench import _code_fingerprint
+
+    assert m1["clean_pairs_history"][-1]["code_fp"] == _code_fingerprint()
     assert m1["n_clean_pairs"] == 3
     assert m1["efficiency_n_to_4n"] == 0.52  # true median, all pairs
     assert "mix" in m1["headline_scope"]
@@ -74,6 +77,22 @@ def test_merge_history_records_sha_and_scopes_headline(tmp_path):
     assert m2["efficiency_n_to_4n"] == 0.82  # median of [0.80, 0.84]
     assert _code_sha() in m2["headline_scope"]
     assert m2["all_clean_pair_efficiencies"] == [0.5, 0.52, 0.8, 0.84]
+    # pairs recorded under a commit that only touched docs/evidence
+    # (different git sha, same engine fingerprint) still count as
+    # current-code evidence
+    with open(rec, "w") as f:
+        json.dump(m2, f)
+    with open(rec) as f:
+        stored = json.load(f)
+    for h in stored["clean_pairs_history"]:
+        if h.get("code_fp"):
+            h["code_sha"] = "0000000"
+    with open(rec, "w") as f:
+        json.dump(stored, f)
+    m3 = _merge_scaling_history(_fake_result([0.90], [0.95, 0.96]), rec)
+    assert m3["n_clean_pairs"] == 3
+    assert m3["efficiency_n_to_4n"] == 0.84  # median of [0.80, 0.84, 0.90]
+    assert "mix" not in m3["headline_scope"]
 
 
 def test_merge_history_true_median_even_count(tmp_path):
