@@ -343,6 +343,118 @@ def _code_fingerprint() -> str:
     return "fp-" + h.hexdigest()[:10]
 
 
+# The bench.py functions that DEFINE the measurement: the e2e job the
+# scaling pair times, the deterministic input expansion, and the
+# control/gate protocol that decides which pairs count. Record/report
+# plumbing (history merge, headline scoping, compaction) is excluded
+# on purpose — a commit that only changes how evidence is REPORTED does
+# not change what was MEASURED, so it must not split the evidence scope.
+_MEASURED_BENCH_ROOTS = (
+    "one_run",
+    "_e2e",
+    "_scaled_docs",
+    "substrate_control",
+    "scaling_protocol",
+)
+
+
+def _measured_bench_hash(source: str) -> str:
+    """sha256 over the source of the measurement-side bench functions
+    (the _MEASURED_BENCH_ROOTS closure: each root plus every top-level
+    bench function its body mentions, transitively)."""
+    import ast
+    import re
+
+    funcs: dict[str, str] = {}
+    tree = ast.parse(source)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            funcs[node.name] = ast.get_source_segment(source, node) or ""
+    seen: set[str] = set()
+    stack = [r for r in _MEASURED_BENCH_ROOTS if r in funcs]
+    while stack:
+        name = stack.pop()
+        if name in seen:
+            continue
+        seen.add(name)
+        body = funcs[name]
+        for other in funcs:
+            if other not in seen and re.search(
+                rf"\b{re.escape(other)}\b", body
+            ):
+                stack.append(other)
+    h = hashlib.sha256()
+    for name in sorted(seen):
+        h.update(name.encode())
+        h.update(b"\0")
+        h.update(funcs[name].encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _measured_fp(sha: str | None = None) -> str | None:
+    """Fingerprint of the MEASURED code only: the clann_spark git tree
+    plus the measurement-side bench.py slice (_measured_bench_hash).
+
+    sha=None fingerprints the working tree (what a measurement taken
+    right now would run); a sha fingerprints that commit, so historical
+    pairs can be resolved to 'same engine or not' through git even
+    though later commits changed record/report logic or docs. Returns
+    None when the sha cannot be resolved."""
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str | None:
+        try:
+            p = subprocess.run(
+                ["git", "-C", root, *args],
+                capture_output=True, text=True, timeout=10,
+            )
+            return p.stdout if p.returncode == 0 else None
+        except Exception:
+            return None
+
+    if sha is None:
+        dirty = _git("status", "--porcelain", "--", "clann_spark")
+        if dirty is None:
+            return None
+        if dirty.strip():
+            # uncommitted engine changes: content-hash the working
+            # files — never aliases to any commit's tree
+            h = hashlib.sha256()
+            for p in sorted(
+                glob.glob(os.path.join(root, "clann_spark", "**", "*.py"),
+                          recursive=True)
+            ):
+                h.update(os.path.relpath(p, root).encode())
+                h.update(b"\0")
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            tree = "dirty-" + h.hexdigest()
+        else:
+            tree = (_git("rev-parse", "HEAD:clann_spark") or "").strip()
+            if not tree:
+                return None
+        with open(os.path.join(root, "bench.py")) as f:
+            src = f.read()
+    else:
+        tree = (_git("rev-parse", f"{sha}:clann_spark") or "").strip()
+        src = _git("show", f"{sha}:bench.py")
+        if not tree or src is None:
+            return None
+    return "mfp-" + hashlib.sha256(
+        (tree + "\0" + _measured_bench_hash(src)).encode()
+    ).hexdigest()[:10]
+
+
+_MEASURED_FP_CACHE: dict[str, str | None] = {}
+
+
+def _measured_fp_cached(sha: str) -> str | None:
+    if sha not in _MEASURED_FP_CACHE:
+        _MEASURED_FP_CACHE[sha] = _measured_fp(sha)
+    return _MEASURED_FP_CACHE[sha]
+
+
 def _compact_scaling(rec: dict) -> dict:
     """Slim summary of a scaling record/result for the ONE-LINE headline
     JSON. The driver captures only the tail of stdout, so the headline
@@ -478,7 +590,7 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
+def _merge_scaling_history(result: dict | None, rec_path: str) -> dict | None:
     """Fold this run's clean bracketed pairs into the persisted
     cross-window history (SCALING_RESULT.json).
 
@@ -486,8 +598,12 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
     window on this host, so single-run medians are 1-2 samples; the
     honest aggregate is the median over EVERY clean pair ever recorded,
     each measured inside its own control-passing bracket. Returns the
-    record to persist, or None when there is still no clean evidence."""
+    record to persist, or None when there is still no clean evidence.
+
+    result=None recomputes the headline scope over the existing history
+    only (--rescope): no pair is added and latest_run is preserved."""
     history: list[dict] = []
+    prev: dict = {}
     if os.path.exists(rec_path):
         with open(rec_path) as f:
             prev = json.load(f)
@@ -499,10 +615,10 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     sha = _code_sha()
     fp = _code_fingerprint()
-    adj = result.get("adjacent_pair_efficiencies", [])
-    controls = result.get("bracketing_controls", [])
-    gate = result.get("control_gate", 0.9)
-    reps = result.get("reps", {})
+    adj = (result or {}).get("adjacent_pair_efficiencies", [])
+    controls = (result or {}).get("bracketing_controls", [])
+    gate = (result or {}).get("control_gate", 0.9)
+    reps = (result or {}).get("reps", {})
     for i, e in enumerate(adj):
         if i + 1 < len(controls) and controls[i] >= gate and controls[i + 1] >= gate:
             history.append(
@@ -516,6 +632,7 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
                     "recorded_at": now,
                     "code_sha": sha,
                     "code_fp": fp,
+                    "measured_fp": _measured_fp(None),
                 }
             )
     if not history:
@@ -527,19 +644,37 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
     if not clean:
         return None
     # Headline scope: pairs measured on superseded code describe a
-    # pipeline that no longer exists. With >=2 clean pairs from the
-    # CURRENT measured-code fingerprint (content hash — doc-only commits
-    # don't split the scope; falls back to the git SHA for entries
-    # recorded before code_fp existed), the headline is their median;
-    # otherwise it falls back to every clean pair and the version mix is
-    # surfaced. (Entries recorded before either field count as 'pre-r5'.)
+    # pipeline that no longer exists. A pair counts as current-code
+    # evidence when the MEASURED code it ran — the clann_spark tree plus
+    # the measurement-side bench.py slice — is identical to what is in
+    # the tree now. That identity is resolved through git from the
+    # entry's recorded commit (_measured_fp), so commits that only
+    # touched docs, evidence JSON, or the record/report plumbing do not
+    # split the scope; entries whose commit cannot be resolved fall back
+    # to exact fingerprint/SHA equality. With >=2 current pairs the
+    # headline is their median; otherwise it spans every clean pair and
+    # the version mix is surfaced. (Entries recorded before any
+    # provenance field existed count as 'pre-r5'.)
     def _key(h: dict) -> str:
         return h.get("code_fp") or h.get("code_sha") or "pre-r5"
 
-    current = [h for h in clean if _key(h) in (fp, sha)]
+    cur_mfp = _measured_fp(None)
+
+    def _is_current(h: dict) -> bool:
+        entry_sha = h.get("code_sha")
+        if cur_mfp and entry_sha and entry_sha != "unknown":
+            entry_mfp = h.get("measured_fp") or _measured_fp_cached(entry_sha)
+            if entry_mfp is not None:
+                return entry_mfp == cur_mfp
+        return _key(h) in (fp, sha)
+
+    current = [h for h in clean if _is_current(h)]
     if len(current) >= 2:
         scoped = current
-        scope = f"current code {sha} ({fp}, n={len(current)})"
+        scope = (
+            f"current measured code {cur_mfp or fp} @ {sha} "
+            f"(n={len(current)})"
+        )
     else:
         shas = sorted({_key(h) for h in clean})
         scoped, scope = clean, f"all recorded code versions (mix: {shas})"
@@ -554,8 +689,10 @@ def _merge_scaling_history(result: dict, rec_path: str) -> dict | None:
         "recorded_at": now,
         "protocol": "bench.py --scaling-only (control-gated, "
         "cross-window median of clean bracketed pairs; headline scoped "
-        "to the current code when >=2 of its pairs exist)",
-        "latest_run": result,
+        "to the current measured code — clann_spark tree + the "
+        "measurement-side bench slice, resolved through git — when >=2 "
+        "of its pairs exist)",
+        "latest_run": result if result is not None else prev.get("latest_run"),
     }
 
 
@@ -713,6 +850,22 @@ if __name__ == "__main__":
                 with open(rec, "w") as f:
                     json.dump(merged, f, indent=1)
         print(json.dumps(result))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--rescope":
+        # recompute the persisted records' headline scope over their
+        # existing pair history (no new measurement): used after the
+        # scoping logic itself changes, so records written by an older
+        # bench.py reflect the current scope resolution
+        for fname in sys.argv[2:] or [
+            "SCALING_RESULT.json", "SCALING_RESULT_1TO4.json"
+        ]:
+            rec = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+            if not os.path.exists(rec):
+                continue
+            merged = _merge_scaling_history(None, rec)
+            if merged is not None:
+                with open(rec, "w") as f:
+                    json.dump(merged, f, indent=1)
+                print(json.dumps({fname: _compact_scaling(merged)}))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--stages":
         print(json.dumps(
             stage_run(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 400)

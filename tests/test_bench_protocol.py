@@ -95,6 +95,123 @@ def test_merge_history_records_sha_and_scopes_headline(tmp_path):
     assert "mix" not in m3["headline_scope"]
 
 
+def test_measured_bench_hash_ignores_report_logic():
+    # the measured slice hashes only the measurement-side functions:
+    # editing record/report plumbing must not change it, editing the
+    # timed job must
+    from bench import _measured_bench_hash
+
+    base = (
+        "def _e2e(spark, docs, cfg):\n    return docs\n\n"
+        "def _scaled_docs(spark, factor):\n    return factor\n\n"
+        "def one_run(master, factor):\n    return _e2e(None, _scaled_docs(None, factor), None)\n\n"
+        "def substrate_control(reps=3, procs_pair=(2, 8)):\n    return {'efficiency': 1.0}\n\n"
+        "def scaling_protocol(n_docs):\n    return substrate_control()\n\n"
+        "def _merge_scaling_history(result, rec_path):\n    return None\n"
+    )
+    h0 = _measured_bench_hash(base)
+    # report-side edit: hash unchanged
+    h1 = _measured_bench_hash(
+        base.replace("    return None\n", "    return {'new': 'logic'}\n")
+    )
+    assert h1 == h0
+    # job edit: hash changes
+    h2 = _measured_bench_hash(
+        base.replace("def one_run(master, factor):\n    return",
+                     "def one_run(master, factor):\n    x = 1\n    return")
+    )
+    assert h2 != h0
+    # helper pulled in transitively: editing _scaled_docs changes it
+    h3 = _measured_bench_hash(
+        base.replace("    return factor\n", "    return factor * 2\n")
+    )
+    assert h3 != h0
+
+
+def test_measured_fp_resolves_current_tree_through_git():
+    import subprocess
+
+    from bench import _code_sha, _measured_fp
+
+    cur = _measured_fp(None)
+    assert cur is None or cur.startswith(("mfp-", "dirty-")) or "-" in cur
+    # unresolvable sha -> None, never a false match
+    assert _measured_fp("0000000000dead") is None
+    # with a clean engine tree, the working-tree fp equals HEAD's fp
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain", "--", "clann_spark", "bench.py"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
+    if not porcelain:
+        assert cur == _measured_fp(_code_sha())
+
+
+def test_merge_history_resolves_scope_through_git(tmp_path):
+    # an entry recorded under a LATER-superseded git sha whose measured
+    # code is identical to the current tree (e.g. only record/report or
+    # doc commits in between) counts as current-code evidence, even if
+    # its full-file fingerprint label went stale
+    import json
+    import subprocess
+
+    from bench import _code_sha, _merge_scaling_history
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain", "--", "clann_spark", "bench.py"],
+        capture_output=True, text=True, cwd=root,
+    ).stdout.strip()
+    if porcelain:
+        import pytest
+
+        pytest.skip("engine tree dirty: git resolution unavailable")
+    rec = str(tmp_path / "SCALING_RESULT.json")
+    with open(rec, "w") as f:
+        json.dump(
+            {"clean_pairs_history": [
+                # same commit as HEAD but a stale code_fp label: the git
+                # resolution must still classify it as current
+                {"efficiency": 0.90, "code_sha": _code_sha(),
+                 "code_fp": "fp-stale00000", "recorded_at": "old"},
+                # unresolvable sha, mismatched fp -> not current
+                {"efficiency": 0.10, "code_sha": "ffffffff",
+                 "code_fp": "fp-other00000", "recorded_at": "old"},
+            ]},
+            f,
+        )
+    m = _merge_scaling_history(_fake_result([0.80], [0.95, 0.96]), rec)
+    assert m["n_clean_pairs"] == 2  # 0.90 (resolved current) + 0.80 (new)
+    assert m["efficiency_n_to_4n"] == 0.85
+    assert "current measured code" in m["headline_scope"]
+    assert m["clean_pairs_history"][-1]["measured_fp"]
+
+
+def test_merge_history_rescope_without_result(tmp_path):
+    # result=None recomputes the scope over existing history only:
+    # nothing is appended and latest_run is preserved
+    import json
+
+    from bench import _merge_scaling_history
+
+    rec = str(tmp_path / "SCALING_RESULT.json")
+    with open(rec, "w") as f:
+        json.dump(
+            {"clean_pairs_history": [
+                {"efficiency": 0.70, "recorded_at": "old"},
+                {"efficiency": 0.74, "recorded_at": "old"},
+            ],
+             "latest_run": {"n_docs": 123, "gated": "example"}},
+            f,
+        )
+    m = _merge_scaling_history(None, rec)
+    assert m["n_clean_pairs"] == 2
+    assert m["efficiency_n_to_4n"] == 0.72
+    assert m["latest_run"] == {"n_docs": 123, "gated": "example"}
+    # empty record -> nothing to rescope
+    assert _merge_scaling_history(None, str(tmp_path / "missing.json")) is None
+
+
 def test_merge_history_true_median_even_count(tmp_path):
     # ADVICE r4: effs[len//2] was the upper-middle element, not the
     # median, for even-length lists — pin statistics.median semantics
