@@ -414,15 +414,26 @@ def q_knn_cosine_top5(spark, sf_dir):
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir)
-    q = emb.where("vec_id % 50 = 0").selectExpr("vec_id AS query_id", "embedding AS va")
-    c = emb.selectExpr("vec_id AS neighbor_id", "embedding AS vb")
+    # Norms are precomputed ONCE PER VECTOR before the cross join — the
+    # identical fold expression on the identical array yields identical
+    # doubles, so per-pair work drops from ~3 interpreted array folds to
+    # 1 (guide §1.2 "per-task work"). The corpus side is repartitioned
+    # and STREAMED while the 1-in-50 query sample is broadcast: the
+    # previous shape streamed the 1-partition parquet scan, so every
+    # pair's fold ran in a single task (guide §2.6 stragglers).
+    q = emb.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS va", f"{_norm('embedding')} AS na"
+    )
+    c = emb.selectExpr(
+        "vec_id AS neighbor_id", "embedding AS vb", f"{_norm('embedding')} AS nb"
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .where("query_id != neighbor_id")
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"{_DOT} / ({_norm('va')} * {_norm('vb')}) AS cos",
+            f"{_DOT} / (na * nb) AS cos",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -170,6 +170,117 @@ def hamming_sql(a_expr: str, b_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# md5-parity vectorized path (round 6): JVM computes the md5 hash arrays
+# (native md5 inside codegen'd/interpreted transforms — linear work);
+# the MinHash fold, SimHash majority vote and band hashes — the
+# quadratic-ish interpreted HOF terms — run vectorized in one
+# mapInArrow. Values are BIT-IDENTICAL to the *_sql forms (np_minhash /
+# np_simhash / np_band_hashes parity, pinned in tests/test_hashing.py),
+# so the DuckDB oracle contract is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _md5_minhash_flat(
+    sh: np.ndarray, sh_off: np.ndarray, a: np.ndarray, b: np.ndarray, prime: int
+) -> np.ndarray:
+    """(flat int64 31-bit shingle hashes, doc offsets) -> (n_docs,
+    num_perm) int64 signatures. Exactly minhash_sql's fold: per perm i,
+    min over h of (a_i*h + b_i) % p; empty docs get the all-prime
+    identity. a < 2^31 and h < 2^31 keep a*h+b < 2^62 — no overflow."""
+    n_docs = sh_off.size - 1
+    num_perm = a.size
+    sig = np.empty((n_docs, num_perm), dtype=np.int64)
+    if sh.size:
+        # reduceat raises on start == len (empty trailing segment);
+        # clamp and overwrite via the empty mask below
+        starts = np.minimum(sh_off[:-1], sh.size - 1)
+        for i in range(num_perm):
+            sig[:, i] = np.minimum.reduceat((a[i] * sh + b[i]) % prime, starts)
+        empty = sh_off[1:] == sh_off[:-1]
+        if empty.any():
+            sig[empty] = prime
+    else:
+        sig[:] = prime
+    return sig
+
+
+def _md5_simhash_flat(
+    wh: np.ndarray, w_off: np.ndarray, bits: int = SIMHASH_BITS
+) -> np.ndarray:
+    """(flat uint64 distinct word hashes, doc offsets) -> (n_docs,)
+    int64 fingerprints with simhash_sql's EXACT bit semantics: bit j of
+    the output is the majority vote of bit j of the inputs (ties -> 1),
+    empty -> 0. unpackbits(bitorder='little') on the little-endian byte
+    view puts hash bit j in column j — no bit permutation, unlike the
+    fast path's _simhash_from_words (whose permuted columns define
+    their own hash space)."""
+    n_docs = w_off.size - 1
+    if wh.size == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    bits_mat = np.unpackbits(
+        wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    ones = np.add.reduceat(bits_mat, np.minimum(w_off[:-1], wh.size - 1), axis=0)
+    counts = (w_off[1:] - w_off[:-1])[:, None]
+    bitvec = (2 * ones.astype(np.int64) >= counts) & (counts > 0)
+    return (bitvec[:, :bits].astype(np.int64) << np.arange(bits)).sum(axis=1)
+
+
+def md5_parity_signature_arrow(
+    cfg: DedupConfig,
+    passthrough: list[str],
+    include_shingles: bool = True,
+    sh_col: str = "shingle_hashes",
+    wh_col: str = "_word_hashes",
+):
+    """mapInArrow batch fn: (passthrough..., shingle_hashes, _word_hashes)
+    -> (passthrough..., [shingle_hashes], sig, bands, simhash) with
+    values bit-identical to the minhash_sql/bands_sql/simhash_sql
+    expression chain (the DuckDB-oracle hash space). The hash ARRAYS
+    are JVM-computed (native md5); this function replaces only the
+    interpreted per-element HOF evaluation — the term that made the
+    oracle config's signature stage ~4x slower than the fast path."""
+    import pyarrow as pa
+
+    a = np.array([p[0] for p in cfg.perms], dtype=np.int64)
+    b = np.array([p[1] for p in cfg.perms], dtype=np.int64)
+    prime = cfg.prime
+
+    def _fn(batches):
+        for batch in batches:
+            shH, sh_off = _list_column_stream(batch.column(sh_col))
+            whH, w_off = _list_column_stream(batch.column(wh_col))
+            sig = _md5_minhash_flat(shH.view(np.int64), sh_off, a, b, prime)
+            simhash = _md5_simhash_flat(whH, w_off)
+            bands = np.empty((sig.shape[0], cfg.bands), dtype=np.int64)
+            for d in range(sig.shape[0]):
+                bands[d] = np_band_hashes(sig[d], cfg)
+            n = sh_off.size - 1
+            arrays = [batch.column(c) for c in passthrough]
+            names = list(passthrough)
+            if include_shingles:
+                arrays.append(batch.column(sh_col))
+                names.append("shingle_hashes")
+            arrays.append(
+                _list_array_from_segments(
+                    sig.reshape(-1), np.arange(n + 1, dtype=np.int64) * cfg.num_perm
+                )
+            )
+            names.append("sig")
+            arrays.append(
+                _list_array_from_segments(
+                    bands.reshape(-1), np.arange(n + 1, dtype=np.int64) * cfg.bands
+                )
+            )
+            names.append("bands")
+            arrays.append(pa.array(simhash))
+            names.append("simhash")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return _fn
+
+
+# ---------------------------------------------------------------------------
 # Fast production signature path (Arrow-batched, fully vectorized NumPy;
 # deterministic but NOT md5-parity — the oracle config stays 'expr'/'pandas')
 # ---------------------------------------------------------------------------

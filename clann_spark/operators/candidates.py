@@ -206,6 +206,40 @@ def _anchor(
     return e.select(F.col("_a.doc_id").alias("a"), F.col("_y.doc_id").alias("b"))
 
 
+def _auto(
+    g: DataFrame,
+    anchor_threshold: int,
+    sketch_col: str | None = None,
+    hamming_threshold: int | None = None,
+) -> DataFrame:
+    """clique below anchor_threshold, anchor above — emitted by ONE
+    fused generator pass instead of a union of two branches over a
+    persisted grouped table. The union form made the grouped subtree a
+    two-consumer cache, and AQE materializes union branches
+    CONCURRENTLY: with the cache still cold, both branches recomputed
+    the whole signatures+exchange+collapse pipeline in parallel
+    (observed in the round-6 stage timeline as 2-3 identical ~64-task
+    stages per e2e run — the same failure mode round 5 fixed for the
+    self-join, reintroduced by the union). Per group the emitted rows
+    are identical: small groups stream their suffix-slice pairs; large
+    groups emit only position 0's anchor edges (ds[0] is the min).
+    slice(ds, 1, 0) is the correctly-typed empty array for the
+    non-anchor positions of large groups.
+    """
+    e = g.select(F.posexplode("ds").alias("_i", "_x"), "ds", "cnt").select(
+        "_x",
+        F.expr(
+            f"IF(cnt <= {int(anchor_threshold)}, "
+            "slice(ds, _i + 2, size(ds) - _i - 1), "
+            "IF(_i = 0, slice(ds, 2, size(ds) - 1), slice(ds, 1, 0)))"
+        ).alias("_rest"),
+    )
+    p = e.select("_x", F.explode("_rest").alias("_y"))
+    if sketch_col is not None and hamming_threshold is not None:
+        p = p.where(_sketch_pred("_x", "_y", sketch_col, hamming_threshold))
+    return p.select(F.col("_x.doc_id").alias("a"), F.col("_y.doc_id").alias("b"))
+
+
 def candidate_pairs(
     bucket_df: DataFrame,
     cfg: DedupConfig,
@@ -235,27 +269,27 @@ def candidate_pairs(
     scans a cached relation (the production pipeline persists the
     signature table): measured 3x 240 MB identical shuffle writes at
     500k docs — 60% of the e2e job's total shuffle volume, now 1x.
-    In auto mode the (small, survivors-only) grouped table is
-    persisted so its two consumers don't re-run the exchange either;
-    it is registered on the result via track_cache for streaming
-    callers to release.
+    Since round 6 auto mode emits through ONE fused generator (_auto)
+    instead of a union of clique/anchor branches over a persisted
+    grouped table — the union's two consumers raced to materialize the
+    cold cache and recomputed the entire upstream pipeline
+    concurrently (stage-timeline evidence in OPTIMIZATION_r06.md).
     """
     extra = (sketch_col,) if sketch_col is not None else ()
     g = grouped_buckets(bucket_df, cfg, extra_cols=extra)
     args = (sketch_col, hamming_threshold)
-    cached = ()
     if mode == "anchor":
         pairs = _anchor(g, *args)
     elif mode == "clique":
         pairs = _clique(g, *args)
     elif mode == "auto":
-        g = g.persist()
-        cached = (g,)
-        pairs = _clique(g.where(F.col("cnt") <= anchor_threshold), *args).union(
-            _anchor(g.where(F.col("cnt") > anchor_threshold), *args)
-        )
+        # fused single-generator form: one consumer of the grouped
+        # table, so no persist and no concurrent-branch recompute race
+        # (see _auto docstring); emitted pair multiset identical to
+        # clique(cnt<=thr) UNION anchor(cnt>thr)
+        pairs = _auto(g, anchor_threshold, *args)
     else:
         raise ValueError(f"unknown pair mode {mode!r}")
     from clann_spark.session import track_cache
 
-    return track_cache(pairs.dropDuplicates(["a", "b"]), *cached)
+    return track_cache(pairs.dropDuplicates(["a", "b"]))

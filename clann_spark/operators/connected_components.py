@@ -103,22 +103,28 @@ def connected_components(
     the long tail of small graphs.
     """
     e = pairs.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    e = e.where(F.col("u") != F.col("v")).distinct()
 
-    # single-probe small-graph shortcut: pull at most threshold+1 edges
-    # from the checkpoint blocks; if that is the whole graph, resolve on
-    # the driver (the old probe spent separate count + collect jobs —
-    # a flat serial term in every bench run)
+    # single-probe small-graph shortcut: persist the distinct edge set
+    # and probe it with ONE limit(threshold+1).toPandas() job. The old
+    # form ran an eager localCheckpoint job first and then the probe —
+    # two sequential jobs on every run's serial path; the common small-
+    # graph case now pays exactly one. The large path localCheckpoints
+    # from the cache below (lineage cut for the loop), then releases it.
     spark = pairs.sparkSession
+    cached = e.persist()
     # toPandas: Arrow transfer of two int64 columns, vs collect()'s
     # per-Row pickling — the probe is on every run's serial path
-    head = e.limit(driver_threshold + 1).toPandas()
+    head = cached.limit(driver_threshold + 1).toPandas()
     if len(head) <= driver_threshold:
+        cached.unpersist()
         if head.empty:
             return spark.createDataFrame([], "doc_id long, cluster_id long")
         return _driver_union_find(
             spark, list(zip(head["u"].tolist(), head["v"].tolist()))
         )
+    e = cached.localCheckpoint()
+    cached.unpersist()
 
     def _fingerprint(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: (count, sum of row hashes).

@@ -100,7 +100,12 @@ def hyperplane_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     def _bands(vecs: pd.Series) -> pd.Series:
         return _grouped_by_dim(vecs, _vals_for_dim)
 
-    return _bands
+    # the function is pure, but the marker stops the optimizer from
+    # duplicating the evaluation below pushed-down filters (the
+    # posexplode's implicit size()>0 filter produced TWO ArrowEvalPython
+    # nodes for one UDF call — guide §4.4 pattern, seen in the round-6
+    # plan audit)
+    return _bands.asNondeterministic()
 
 
 def _grouped_by_dim(vecs: pd.Series, fn) -> pd.Series:
@@ -171,7 +176,9 @@ def crosspolytope_bands_udf(bands: int, rows_per_band: int, seed: int = 42):
     def _bands(vecs: pd.Series) -> pd.Series:
         return _grouped_by_dim(vecs, _vals_for_dim)
 
-    return _bands
+    # pure function; marker prevents double evaluation under pushed
+    # filters (guide §4.4) — see hyperplane_bands_udf
+    return _bands.asNondeterministic()
 
 
 def embedding_buckets(
@@ -222,12 +229,18 @@ def embedding_lsh_pairs(
     buckets = embedding_buckets(
         emb, bands, rows_per_band, seed, id_col, vec_col, hash_family
     )
-    cands = candidate_pairs(buckets, cfg, mode="clique").persist()
-    small = cands.count() <= cfg.broadcast_limit
+    # No persist / count gate (round 6): the candidate table appears
+    # exactly ONCE in the join chain below (unlike the text pipeline,
+    # where the pair list feeds three consumers), so the blocking
+    # count() bought nothing but a serial job. Join strategy is left to
+    # Catalyst/AQE, which converts to broadcast at runtime when the
+    # materialized candidate side is small and keeps shuffle joins at
+    # scale — the same sizes the old row-count gate approximated.
+    cands = candidate_pairs(buckets, cfg, mode="clique")
 
     e = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     j = (
-        (F.broadcast(cands) if small else cands)
+        cands
         .join(e.select(F.col("doc_id").alias("a"), F.col("v").alias("va")), "a")
         .join(e.select(F.col("doc_id").alias("b"), F.col("v").alias("vb")), "b")
     )
@@ -262,7 +275,12 @@ def embedding_lsh_pairs(
                 out[idx] = num / np.maximum(den, 1e-300)
             return pd.Series(out)
 
-        scored = j.select("a", "b", _cos("va", "vb").alias("cos"))
+        # pure function; the marker keeps the `cos >= tau` filter from
+        # duplicating the UDF evaluation (two ArrowEvalPython nodes for
+        # one logical call — guide §4.4, round-6 plan audit)
+        scored = j.select(
+            "a", "b", _cos.asNondeterministic()("va", "vb").alias("cos")
+        )
     else:
         scored = j.selectExpr("a", "b", f"{COS_SQL} AS cos")
     return scored.where(F.col("cos") >= tau)

@@ -57,7 +57,36 @@ def compute_signatures(
     discards text after this stage anyway — dropping it first keeps the
     IPC traffic at doc_id + word hashes instead of doc_id + word hashes
     + the full document bytes.
+
+    Local-input guard (round 6, mirrors run_dedup): a single large
+    parquet file can arrive as ONE partition, which would serialize the
+    whole signature stage into a single task for callers that invoke
+    this operator directly (the per-query bench entries, the gate
+    queries). The split target is SIZE-adaptive (guide §2: derive
+    partitioning from the data, not a core-count constant): ~2 MB of
+    optimizer-estimated input per task, capped at 2x the default
+    parallelism — so a small local file stays one partition (no
+    exchange, no per-stage task storm downstream), a big under-split
+    one fans out, and a well-partitioned cluster-scale scan is
+    untouched (the stage stays narrow).
     """
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur < want:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # defensive: unknown stats -> assume big
+            size = None
+        target = (
+            want * 2
+            if size is None
+            else min(want * 2, max(1, -(-size // (2 << 20))))
+        )
+        if target > cur:
+            df = df.repartition(target)
     if cfg.signature_impl == "fast":
         from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -111,23 +140,45 @@ def compute_signatures(
         hashes = H.shingle_hashes_sql("_shingles")
         word_hashes = H.word_hashes_sql("_words")
 
-    # Each md5-bearing expression gets its own named column: simhash/
-    # minhash reference their input arrays many times (60 bit positions /
-    # num_perm lanes) and CollapseProject only protects *aliased columns*
-    # that are multi-referenced — an inlined chain would re-hash per use.
-    out = (
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    # Round-6 split of the oracle-parity path (guide §4.2): the JVM
+    # computes the HASH ARRAYS (tokenize/shingle/md5 — native functions,
+    # linear per-element work), while the MinHash fold (num_perm ops per
+    # shingle), the SimHash majority vote (60 ops per word) and the band
+    # folds — the interpreted-HOF terms that dominated this stage — run
+    # vectorized in ONE mapInArrow with bit-identical values
+    # (np_minhash/np_simhash/np_band_hashes parity, tests/test_hashing
+    # + the full DuckDB oracle gate in tests/test_entry.py). This also
+    # collapses the former ~100k-node expression tree (128 inline perm
+    # literals x 60 CASE branches), which Catalyst re-analyzed on every
+    # query build. Stage stays narrow: no shuffle, one Python boundary
+    # crossing of two int64-array columns.
+    src = (
         df.withColumn("_words", F.expr(T.words_sql(txt)))
-        .withColumn("_shingles", F.expr(T.shingles_from_words_sql("_words", cfg.shingle_k)))
+        .withColumn(
+            "_shingles", F.expr(T.shingles_from_words_sql("_words", cfg.shingle_k))
+        )
         .withColumn("shingle_hashes", F.expr(hashes))
         .withColumn("_word_hashes", F.expr(word_hashes))
-        .withColumn("sig", F.expr(H.minhash_sql("shingle_hashes", cfg)))
-        .withColumn("bands", F.expr(H.bands_sql("sig", cfg)))
-        .withColumn("simhash", F.expr(H.simhash_sql("_word_hashes")))
-        .drop("_words", "_shingles", "_word_hashes")
+        .drop("_words", "_shingles")
     )
     if drop_text:
-        out = out.drop(text_col)
-    return out if include_shingles else out.drop("shingle_hashes")
+        src = src.drop(text_col)
+    derived = ("shingle_hashes", "_word_hashes")
+    passthrough = [f.name for f in src.schema.fields if f.name not in derived]
+    out_fields = [f for f in src.schema.fields if f.name not in derived]
+    if include_shingles:
+        out_fields.append(StructField("shingle_hashes", ArrayType(LongType())))
+    out_fields.append(StructField("sig", ArrayType(LongType())))
+    out_fields.append(StructField("bands", ArrayType(LongType())))
+    out_fields.append(StructField("simhash", LongType()))
+    return src.mapInArrow(
+        H.md5_parity_signature_arrow(
+            cfg, passthrough, include_shingles=include_shingles
+        ),
+        StructType(out_fields),
+    )
 
 
 def explode_bands(

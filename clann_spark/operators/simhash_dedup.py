@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clann_spark.config import SIMHASH_BITS, DedupConfig
+from clann_spark.config import SIMHASH_BITS
 
 
 def simhash_bands_expr(col: str, n_bands: int, bits: int = SIMHASH_BITS) -> str:
@@ -63,9 +63,20 @@ def simhash_near_pairs(
 
     n_bands defaults to max_hamming + 1 (the pigeonhole minimum for
     exact recall). Canonical a < b, deduped across bands (U2/J8
-    semantics, maxpairbuffer.hpp:64-80). The census join-back is
-    size-gated: broadcast under broadcast_limit rows (default: the
-    DedupConfig.broadcast_limit knob), shuffle join above.
+    semantics, maxpairbuffer.hpp:64-80).
+
+    Round-6 plan shape: VALUE pairs stream join-free from suffix-slice
+    generators over per-(band_id, chunk) sorted value arrays — the old
+    census aggregation + size-gated broadcast + (band, chunk) SELF-join
+    (54 Exchange nodes, one extra blocking census job) are gone. In
+    clique mode identity pairs and doc expansion also stream from
+    per-value sorted doc arrays (the corpus projection is scanned
+    ONCE); the O(m) arrays are dominated by clique's O(m^2) output. In
+    anchor/auto modes doc expansion stays join-based and ARRAY-FREE so
+    identity mega-groups never collapse into one aggregation buffer.
+    broadcast_limit is accepted for API compatibility but unused: no
+    census broadcast exists at any size (expansion joins are sized by
+    Catalyst/AQE at runtime).
 
     emit: 'clique' (every true pair — the oracle contract), 'anchor'
     (CC-connectivity edges only: min-doc anchors within identity
@@ -76,42 +87,55 @@ def simhash_near_pairs(
     """
     if emit not in ("clique", "anchor", "auto"):
         raise ValueError(f"unknown emit mode {emit!r}")
-    if broadcast_limit is None:
-        broadcast_limit = DedupConfig().broadcast_limit
     n_bands = n_bands or (max_hamming + 1)
     s = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(simhash_col).alias("simhash")
     )
 
-    # level 1: distinct fingerprint values (+ how many docs carry each,
-    # + the group's min doc id — the anchor / representative)
-    vals = (
-        s.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep"))
-        .persist()
-    )
+    # level 1: one value-collapse aggregation. In CLIQUE mode (the
+    # oracle contract) each distinct fingerprint also keeps its sorted
+    # member-doc array: identity pairs and the doc expansion then read
+    # ONLY this table — the corpus projection `s` is scanned exactly
+    # once per run, where the round-1..5 shape re-scanned it ~5x (two
+    # identity self-join sides + two expansion join sides). The O(m)
+    # array for an m-doc identity group is dominated by clique mode's
+    # own O(m^2) output, so this adds no new scale cliff — callers that
+    # must survive boilerplate mega-groups use anchor/auto, which stay
+    # ARRAY-FREE (distributed joins, O(m) output, O(1)/row residence).
+    # Persisted + counted once: the barrier fills the cache before its
+    # consumers race (replaces the old census.count() barrier).
+    with_docs = emit == "clique"
+    aggs = [F.count("*").alias("n_docs"), F.min("doc_id").alias("rep")]
+    if with_docs:
+        aggs.append(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    vals = s.groupBy("simhash").agg(*aggs).persist()
+    vals.count()
 
     # Hamming-0 pairs within an identical-fingerprint group. clique:
-    # all doc pairs (the true output; the join key is the full 60-bit
-    # value, so Spark distributes the groups and AQE splits skew).
-    # anchor: m-1 edges (rep, doc) — same CC connectivity in O(m).
+    # all doc pairs, streamed join-free from the suffix-slice generator
+    # (docs sorted -> a < b is positional). anchor: m-1 distributed
+    # (rep, doc) edges — same CC connectivity in O(m).
     dup_vals = vals.where("n_docs >= 2")
-    if emit == "clique":
-        cliq_vals = dup_vals.select("simhash")
-    elif emit == "auto":
-        cliq_vals = dup_vals.where(F.col("n_docs") <= anchor_threshold).select("simhash")
-    else:
-        cliq_vals = None
     identity_parts = []
-    if cliq_vals is not None:
-        same = s.join(cliq_vals, "simhash")
-        identity_parts.append(
-            same.select("simhash", F.col("doc_id").alias("a"))
-            .join(same.select("simhash", F.col("doc_id").alias("b")), "simhash")
-            .where("a < b")
-            .select("a", "b", F.lit(0).alias("hamming"))
+    if emit == "clique":
+        e = dup_vals.select(F.posexplode("docs").alias("_i", "a"), "docs").select(
+            "a", F.expr("slice(docs, _i + 2, size(docs) - _i - 1)").alias("_rest")
         )
-    if emit != "clique":
+        identity_parts.append(
+            e.select("a", F.explode("_rest").alias("b"), F.lit(0).alias("hamming"))
+        )
+    else:
+        if emit == "auto":
+            cliq_vals = dup_vals.where(
+                F.col("n_docs") <= anchor_threshold
+            ).select("simhash")
+            same = s.join(cliq_vals, "simhash")
+            identity_parts.append(
+                same.select("simhash", F.col("doc_id").alias("a"))
+                .join(same.select("simhash", F.col("doc_id").alias("b")), "simhash")
+                .where("a < b")
+                .select("a", "b", F.lit(0).alias("hamming"))
+            )
         anch_vals = (
             dup_vals
             if emit == "anchor"
@@ -130,25 +154,28 @@ def simhash_near_pairs(
     for extra in identity_parts[1:]:
         identity_pairs = identity_pairs.unionByName(extra)
 
-    # level 2: banded pigeonhole over VALUES
+    # level 2: banded pigeonhole over VALUES, join-free. Group the
+    # (band_id, chunk) buckets to sorted value arrays; value pairs
+    # stream from the suffix-slice generator (va < vb free), far pairs
+    # die on the exact bit_count predicate, and the cross-band distinct
+    # sees only survivors. The value table is the DISTINCT-fingerprint
+    # set, so a boilerplate mega-group is ONE array element here.
     vb = vals.select(
         "simhash",
         F.posexplode(F.expr(simhash_bands_expr("simhash", n_bands))).alias(
             "band_id", "chunk"
         ),
     )
-    census = (
-        vb.groupBy("band_id", "chunk").agg(F.count("*").alias("cnt")).where("cnt >= 2")
-    ).persist()
-    census_gated = (
-        F.broadcast(census) if census.count() <= broadcast_limit else census
+    g = (
+        vb.groupBy("band_id", "chunk")
+        .agg(F.array_sort(F.collect_list("simhash")).alias("vs"))
+        .where(F.size("vs") >= 2)
     )
-    nb = vb.join(census_gated, ["band_id", "chunk"])
-    left = nb.select("band_id", "chunk", F.col("simhash").alias("va"))
-    right = nb.select("band_id", "chunk", F.col("simhash").alias("vb"))
+    ve = g.select(F.posexplode("vs").alias("_i", "va"), "vs").select(
+        "va", F.expr("slice(vs, _i + 2, size(vs) - _i - 1)").alias("_rest")
+    )
     value_pairs = (
-        left.join(right, ["band_id", "chunk"])
-        .where("va < vb")
+        ve.select("va", F.explode("_rest").alias("vb"))
         .select("va", "vb", F.expr("bit_count(va ^ vb)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["va", "vb"])
@@ -159,21 +186,18 @@ def simhash_near_pairs(
     # full na x nb expansion (true output). anchor: ONE representative
     # edge per value pair — groups are internally connected by the
     # identity edges, so one bridge suffices for CC. auto: full
-    # expansion while na*nb <= anchor_threshold, bridge above.
-    vp = value_pairs.join(
-        vals.select(
-            F.col("simhash").alias("va"),
-            F.col("n_docs").alias("na"),
-            F.col("rep").alias("ra"),
-        ),
-        "va",
-    ).join(
-        vals.select(
-            F.col("simhash").alias("vb"),
-            F.col("n_docs").alias("nb"),
-            F.col("rep").alias("rb"),
-        ),
-        "vb",
+    # expansion while na*nb <= anchor_threshold, bridge above. Join
+    # strategies are left to Catalyst/AQE (value pairs are usually tiny
+    # — broadcast; shuffle joins at scale).
+    a_cols = [F.col("simhash").alias("va"), F.col("n_docs").alias("na"),
+              F.col("rep").alias("ra")]
+    b_cols = [F.col("simhash").alias("vb"), F.col("n_docs").alias("nb"),
+              F.col("rep").alias("rb")]
+    if with_docs:
+        a_cols.append(F.col("docs").alias("docs_a"))
+        b_cols.append(F.col("docs").alias("docs_b"))
+    vp = value_pairs.join(vals.select(*a_cols), "va").join(
+        vals.select(*b_cols), "vb"
     )
     cross_parts = []
     if emit == "clique":
@@ -184,22 +208,38 @@ def simhash_near_pairs(
         gate = F.col("na") * F.col("nb") <= anchor_threshold
         full, bridged = vp.where(gate), vp.where(~gate)
     if full is not None:
-        cross_parts.append(
-            full.select("va", "vb", "hamming")
-            .join(
-                s.select(F.col("simhash").alias("va"), F.col("doc_id").alias("ia")),
-                "va",
+        if with_docs:
+            # clique: expand from the vals arrays — no corpus re-join
+            cross_parts.append(
+                full.select("hamming", F.explode("docs_a").alias("ia"), "docs_b")
+                .select("hamming", "ia", F.explode("docs_b").alias("ib"))
+                .select(
+                    F.least("ia", "ib").alias("a"),
+                    F.greatest("ia", "ib").alias("b"),
+                    "hamming",
+                )
             )
-            .join(
-                s.select(F.col("simhash").alias("vb"), F.col("doc_id").alias("ib")),
-                "vb",
+        else:
+            cross_parts.append(
+                full.select("va", "vb", "hamming")
+                .join(
+                    s.select(
+                        F.col("simhash").alias("va"), F.col("doc_id").alias("ia")
+                    ),
+                    "va",
+                )
+                .join(
+                    s.select(
+                        F.col("simhash").alias("vb"), F.col("doc_id").alias("ib")
+                    ),
+                    "vb",
+                )
+                .select(
+                    F.least("ia", "ib").alias("a"),
+                    F.greatest("ia", "ib").alias("b"),
+                    "hamming",
+                )
             )
-            .select(
-                F.least("ia", "ib").alias("a"),
-                F.greatest("ia", "ib").alias("b"),
-                "hamming",
-            )
-        )
     if bridged is not None:
         cross_parts.append(
             bridged.select(
@@ -211,4 +251,9 @@ def simhash_near_pairs(
     out = identity_pairs
     for part in cross_parts:
         out = out.unionByName(part)
-    return out
+    from clann_spark.session import track_cache
+
+    # register the value table so long-lived callers can release it
+    # (session.unpersist_intermediates); one-shot queries just let the
+    # session end
+    return track_cache(out, vals)

@@ -166,6 +166,12 @@ def verify_pairs_from_text(
             .select("doc_id", F.expr(hashes).alias("shingle_hashes"))
         )
 
+    # the candidate shingle table feeds BOTH join sides; without a
+    # persist each side recomputes the whole scan+hash+fold subtree
+    # (broadcast joins have no exchange for AQE to reuse — the round-6
+    # stage timeline showed the 64-task shingle stage executing twice
+    # per e2e run). Registered below for caller release.
+    sh = sh.persist()
     j = (
         (F.broadcast(pairs) if small else pairs)
         .join(
@@ -193,8 +199,8 @@ def verify_pairs_from_text(
         out = out.where(F.col("jaccard") >= cfg.tau)
     from clann_spark.session import track_cache
 
-    # `pairs` stays persisted for the size-gate count + two joins;
-    # register it so per-micro-batch callers can release the blocks
-    # (session.unpersist_intermediates) instead of leaking executor
-    # storage over a long-running stream.
-    return track_cache(out, pairs)
+    # `pairs` stays persisted for the size-gate count + two joins and
+    # `sh` for its two join sides; register both so per-micro-batch
+    # callers can release the blocks (session.unpersist_intermediates)
+    # instead of leaking executor storage over a long-running stream.
+    return track_cache(out, pairs, sh)

@@ -56,15 +56,17 @@ class DedupResult:
     def unpersist(self) -> None:
         """Release every cache run_dedup registered: the persisted
         signatures/candidates/verified stages plus any intermediates
-        candidate_pairs tracked on the candidates frame (auto mode
-        persists the grouped bucket table for its two consumers).
-        Long-lived sessions running many pipelines MUST call this after
-        consuming the results, or executor storage grows per call.
-        Safe to call repeatedly; the plans stay valid (blocks simply
-        recompute if re-executed)."""
+        tracked on them (the verify stage persists the candidate pair
+        list and the candidate-doc shingle table; auto-mode pair
+        generation is a single fused pass since round 6 and registers
+        nothing). Long-lived sessions running many pipelines MUST call
+        this after consuming the results, or executor storage grows per
+        call. Safe to call repeatedly; the plans stay valid (blocks
+        simply recompute if re-executed)."""
         from clann_spark.session import unpersist_intermediates
 
         unpersist_intermediates(self.candidates)
+        unpersist_intermediates(self.verified)
         for df in (self.verified, self.candidates, self.signatures):
             try:
                 df.unpersist()

@@ -74,11 +74,14 @@ def test_auto_mode_mixes(spark):
 
 
 def test_run_dedup_auto_mode_releases_all_caches(spark):
-    """auto mode persists the grouped bucket table for its two
-    consumers; DedupResult.unpersist() must release it (plus the
-    signatures/candidates/verified stage caches), or a long-lived
-    session running many pipelines accumulates executor storage
-    per call."""
+    """DedupResult.unpersist() must release every cache the pipeline
+    registered — the signatures/candidates/verified stage caches plus
+    the verify stage's tracked intermediates (candidate pair list +
+    candidate-doc shingle table) — or a long-lived session running many
+    pipelines accumulates executor storage per call. Since round 6
+    auto-mode pair generation is one fused generator pass, so the
+    grouped bucket table is no longer persisted (nothing to leak
+    there); the verify intermediates are the wiring under test."""
     from clann_spark.pipeline import run_dedup
 
     docs = spark.createDataFrame(
@@ -87,12 +90,14 @@ def test_run_dedup_auto_mode_releases_all_caches(spark):
     )
     res = run_dedup(docs, DedupConfig(signature_impl="fast"), pair_mode="auto")
     res.assignments.count()
-    # the tracked intermediate exists in auto mode (the wiring under test)
-    tracked = getattr(res.candidates, "_clann_cached", [])
-    assert tracked, "auto mode should register the grouped bucket cache"
+    # auto mode registers no grouped-table cache anymore (fused pass)
+    assert getattr(res.candidates, "_clann_cached", []) == []
+    # the verify stage registers its shingle-table intermediate
+    tracked = getattr(res.verified, "_clann_cached", [])
+    assert tracked, "verify stage should register its intermediates"
     assert any(c.storageLevel.useMemory for c in tracked)
     res.unpersist()
-    assert res.candidates._clann_cached == []
+    assert res.verified._clann_cached == []
     for df in (res.signatures, res.candidates, res.verified, *tracked):
         lvl = df.storageLevel
         assert not (lvl.useMemory or lvl.useDisk), df

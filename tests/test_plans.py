@@ -36,10 +36,22 @@ def test_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
 
 
 def test_signature_stage_is_narrow(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    """On a well-partitioned input (the at-scale case) the signature
+    stage must stay shuffle-free. (Pathologically under-split local
+    inputs — a single-file parquet scan — get one guard repartition so
+    direct callers don't run the whole stage in one task; that exchange
+    exists only when input partitions < defaultParallelism.)"""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+    )
     sigs = compute_signatures(docs, CFG, include_shingles=False, include_sig=False)
     plan = _plan(sigs)
-    assert "Exchange" not in plan, "signature stage must not shuffle"
+    # the only Exchange NODE is the fixture's own repartition above
+    # (formatted explain prints each node once in the tree and once in
+    # the detail section — count tree lines)
+    assert plan.count("+- Exchange") <= 1, "signature stage must not shuffle"
 
 
 def test_candidates_stage_is_one_exchange(spark, sf_dir):
