@@ -80,10 +80,17 @@ def compute_signatures(
             )
         except Exception:  # defensive: unknown stats -> assume big
             size = None
+        # granularity follows the impl's measured per-byte cost against
+        # the OPTIMIZER'S size estimate (which is well below raw text
+        # bytes): the vectorized fast path measures ~0.8-1 MB(est)/s
+        # per task, the md5-parity impls hash every shingle+word
+        # through interpreted transforms at ~0.14 MB(est)/s — split so
+        # a task stays ~0.1-0.2 s of hash work
+        per_task = (128 << 10) if cfg.signature_impl in ("fast", "xxhash") else (32 << 10)
         target = (
             want * 2
             if size is None
-            else min(want * 2, max(1, -(-size // (2 << 20))))
+            else min(want * 2, max(1, -(-size // per_task)))
         )
         if target > cur:
             df = df.repartition(target)

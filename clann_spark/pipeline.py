@@ -52,6 +52,11 @@ class DedupResult:
     verified: DataFrame        # a, b, jaccard  (jaccard >= tau)
     clusters: DataFrame        # doc_id, cluster_id (only docs in a dup pair)
     assignments: DataFrame     # doc_id, cluster_id for ALL docs
+    base: DataFrame | None = None  # the pre-repartition (doc_id, text)
+                               #   projection — dedup_summary's narrow
+                               #   count source (None for hand-built
+                               #   results -> summary falls back to
+                               #   aggregating `assignments`)
 
     def unpersist(self) -> None:
         """Release every cache run_dedup registered: the persisted
@@ -80,18 +85,28 @@ def run_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     pair_mode: str = "clique",
-    persist_signatures: bool = True,
+    persist_signatures: bool = False,
 ) -> DedupResult:
-    """Full pipeline over any DataFrame with (id_col, text_col)."""
-    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # Local-input guard: a single-file parquet arrives as 1 partition and
-    # would serialize the whole narrow signature stage. On a real cluster
-    # the scan splits by spark.sql.files.maxPartitionBytes and this is a
-    # no-op; only pathologically under-split inputs get reshuffled.
-    spark = docs.sparkSession
-    want = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < want:
-        base = base.repartition(want * 2)
+    """Full pipeline over any DataFrame with (id_col, text_col).
+
+    persist_signatures defaults to False since round 6: nothing inside
+    the pipeline reads the signature table twice (verification
+    re-derives shingles from text; auto-mode pair generation is one
+    fused pass), and a persisted-but-single-consumer cache split the
+    signature compute and the bucket-exchange write into two full
+    passes over the corpus (the InMemoryRelation boundary has its own
+    result stage). Callers that will re-read result.signatures can opt
+    back in.
+    """
+    base0 = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    base = base0
+    # No blanket repartition here since round 6: compute_signatures
+    # carries its own SIZE-adaptive under-split guard (~2 MB/task), so
+    # a small local corpus keeps its natural partitioning (the old
+    # unconditional repartition(2x parallelism) made every downstream
+    # stage a 64-task storm over kilobytes) while a big under-split
+    # input still fans out. The verify stage's candidate-doc scan
+    # inherits the input's own splits.
     # slim signatures: bands + simhash only (~270 B/row); shingle sets
     # are re-derived for candidate docs at verify time. drop_text=True
     # projects text away BEFORE the Arrow stage so the document bytes
@@ -143,13 +158,35 @@ def run_dedup(
         verified=verified,
         clusters=clusters,
         assignments=assignments,
+        base=base0,
     )
 
 
 def dedup_summary(result: DedupResult) -> DataFrame:
-    """Corpus-level dedup stats: docs, clusters, dup docs removed."""
-    return result.assignments.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("cluster_id").alias("n_clusters"),
-        (F.count("*") - F.countDistinct("cluster_id")).alias("n_removed"),
+    """Corpus-level dedup stats: docs, clusters, dup docs removed.
+
+    Computed via the same identity the DuckDB oracle uses
+    (entry_queries.O_DEDUP_SUMMARY): every cluster_id is the min member
+    doc_id and clusters holds one row per clustered doc, so
+    n_clusters = n_docs - |clusters| + distinct(cluster_id) and
+    n_removed = |clusters| - distinct(cluster_id). This needs one
+    narrow count of the doc projection plus a tiny aggregate of the
+    cluster table — the round-1..5 form re-ran the scan+repartition and
+    a left join of the whole corpus just to count rows. Values are
+    identical (tests/test_dedup_recall.py, dedup_summary oracle row).
+    """
+    if result.base is None:  # hand-built results: original definition
+        return result.assignments.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            (F.count("*") - F.countDistinct("cluster_id")).alias("n_removed"),
+        )
+    n = result.base.agg(F.count("*").alias("n_docs"))
+    c = result.clusters.agg(
+        F.count("*").alias("_m"), F.countDistinct("cluster_id").alias("_k")
+    )
+    return n.crossJoin(c).select(
+        F.col("n_docs"),
+        (F.col("n_docs") - F.col("_m") + F.col("_k")).alias("n_clusters"),
+        (F.col("_m") - F.col("_k")).alias("n_removed"),
     )
