@@ -194,11 +194,18 @@ def embedding_buckets(
     rows, shaped exactly like signatures.explode_bands output so the
     candidate machinery is shared. hash_family: 'hyperplane' (H1 over
     vectors) or 'crosspolytope' (H6)."""
+    from clann_spark.session import adaptive_input_split
+
     if hash_family == "crosspolytope":
         udf = crosspolytope_bands_udf(bands, rows_per_band, seed)
     else:
         udf = hyperplane_bands_udf(bands, rows_per_band, seed)
-    return emb.select(
+    # the banding matmul ((n, dim) @ (dim, bands*rows)) is the per-row
+    # heavy work of this operator; a 1-partition local scan would run
+    # it single-task (measured: the whole 10x-corpus banding in one
+    # ~2s task). ~512 KiB of estimated input per task keeps each task
+    # at ~0.1-0.2 s of matmul; cluster-scale scans are untouched.
+    return adaptive_input_split(emb, 512 << 10).select(
         F.col(id_col).alias("doc_id"), udf(F.col(vec_col)).alias("bands")
     ).select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
 

@@ -70,30 +70,17 @@ def compute_signatures(
     one fans out, and a well-partitioned cluster-scale scan is
     untouched (the stage stays narrow).
     """
-    spark = df.sparkSession
-    want = spark.sparkContext.defaultParallelism
-    cur = df.rdd.getNumPartitions()
-    if cur < want:
-        try:
-            size = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:  # defensive: unknown stats -> assume big
-            size = None
-        # granularity follows the impl's measured per-byte cost against
-        # the OPTIMIZER'S size estimate (which is well below raw text
-        # bytes): the vectorized fast path measures ~0.8-1 MB(est)/s
-        # per task, the md5-parity impls hash every shingle+word
-        # through interpreted transforms at ~0.14 MB(est)/s — split so
-        # a task stays ~0.1-0.2 s of hash work
-        per_task = (128 << 10) if cfg.signature_impl in ("fast", "xxhash") else (32 << 10)
-        target = (
-            want * 2
-            if size is None
-            else min(want * 2, max(1, -(-size // per_task)))
-        )
-        if target > cur:
-            df = df.repartition(target)
+    from clann_spark.session import adaptive_input_split
+
+    # granularity follows the impl's measured per-byte cost against
+    # the OPTIMIZER'S size estimate (which is well below raw text
+    # bytes): the vectorized fast path measures ~0.8-1 MB(est)/s
+    # per task, the md5-parity impls hash every shingle+word
+    # through interpreted transforms at ~0.14 MB(est)/s — split so
+    # a task stays ~0.1-0.2 s of hash work
+    df = adaptive_input_split(
+        df, (128 << 10) if cfg.signature_impl in ("fast", "xxhash") else (32 << 10)
+    )
     if cfg.signature_impl == "fast":
         from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
