@@ -89,7 +89,6 @@ def bucket_census(bucket_df: DataFrame) -> DataFrame:
 def salted_buckets(
     bucket_df: DataFrame,
     cfg: DedupConfig,
-    broadcast_limit: int | None = None,  # kept for API compat; unused
     extra_cols: tuple = (),
 ) -> DataFrame:
     """Census + singleton drop + mega-bucket salting, co-partitioned.
@@ -105,9 +104,9 @@ def salted_buckets(
     join-back at 2M docs it removes both the second shuffle and the
     flat ~20-30 s census collect (BASELINE.md round-4).
 
-    broadcast_limit is accepted for source compatibility with the
-    round-3 gate but ignored: the plan contains no broadcast at any
-    size (the property the gate used to protect is now structural).
+    (The round-3 broadcast_limit gate parameter is gone — round 6
+    removed the long-dead API-compat vestige; the plan contains no
+    broadcast at any size, structurally.)
     """
     cols = ["doc_id", "band_hash", *extra_cols]
     slim = bucket_df.select(*cols)

@@ -138,3 +138,28 @@ def test_simhash_similar_docs_close(spark):
     ham12 = bin(rows[1] ^ rows[2]).count("1")
     ham13 = bin(rows[1] ^ rows[3]).count("1")
     assert ham12 < ham13
+
+
+def test_md5_parity_arrow_path_equals_sql_exprs(spark, sample_df):
+    """Round-6 pin: compute_signatures' vectorized md5-parity path
+    (JVM hash arrays + md5_parity_signature_arrow for the MinHash
+    fold / SimHash vote / band folds) is bit-identical to the
+    definitional *_sql expression chain it replaced — including the
+    empty-doc, short-doc and whitespace edge rows."""
+    from clann_spark.operators.signatures import compute_signatures
+
+    cfg = CFG
+    expr_rows = _spark_rows(spark, sample_df, cfg)
+    got = {
+        r["doc_id"]: r
+        for r in compute_signatures(sample_df, cfg).select(
+            "doc_id", "shingle_hashes", "sig", "bands", "simhash"
+        ).collect()
+    }
+    for doc_id, _ in SAMPLE:
+        assert sorted(got[doc_id]["shingle_hashes"]) == sorted(
+            expr_rows[doc_id]["hashes"]
+        ), f"doc {doc_id} hashes"
+        assert got[doc_id]["sig"] == expr_rows[doc_id]["sig"], f"doc {doc_id} sig"
+        assert got[doc_id]["bands"] == expr_rows[doc_id]["bands"], f"doc {doc_id} bands"
+        assert got[doc_id]["simhash"] == expr_rows[doc_id]["simhash"], f"doc {doc_id} simhash"
