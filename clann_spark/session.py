@@ -119,6 +119,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE (incl. partition coalescing) apply INSIDE cached
+        # plans: off by default, which pins every persisted
+        # aggregation/exchange at spark.sql.shuffle.partitions and
+        # makes each map-over-cache stage a full-width task storm
+        # regardless of data size (round-6 stage timelines: 32-task
+        # stages over kilobytes for the signature/value-table caches).
+        # Size-driven, so it coalesces small caches and leaves big
+        # ones wide — scale-neutral by construction.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDFs / toPandas (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
