@@ -101,7 +101,8 @@ def run_dedup(
     base0 = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     base = base0
     # No blanket repartition here since round 6: compute_signatures
-    # carries its own SIZE-adaptive under-split guard (~2 MB/task), so
+    # carries its own SIZE-adaptive under-split guard (per-impl task
+    # granularity — see session.adaptive_input_split), so
     # a small local corpus keeps its natural partitioning (the old
     # unconditional repartition(2x parallelism) made every downstream
     # stage a 64-task storm over kilobytes) while a big under-split
