@@ -163,3 +163,32 @@ def test_md5_parity_arrow_path_equals_sql_exprs(spark, sample_df):
         assert got[doc_id]["sig"] == expr_rows[doc_id]["sig"], f"doc {doc_id} sig"
         assert got[doc_id]["bands"] == expr_rows[doc_id]["bands"], f"doc {doc_id} bands"
         assert got[doc_id]["simhash"] == expr_rows[doc_id]["simhash"], f"doc {doc_id} simhash"
+
+
+def test_xxhash_impl_runs_and_matches_dedup_outcome(spark):
+    """The xxhash impl shares the round-6 vectorized fold path with the
+    expr impl (different hash space, same structure); pin that it runs
+    and that the verified pair set — which is hash-space independent
+    for clear duplicates — matches the md5 impl on a fixture of exact
+    and near duplicates."""
+    from clann_spark.pipeline import run_dedup
+
+    rows = []
+    for i in range(30):
+        base = f"some stable sentence about topic {i} repeated for shingles " * 6
+        rows.append((i, base))
+        if i % 3 == 0:  # near-dup: one word appended
+            rows.append((1000 + i, base + "tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairset(impl):
+        res = run_dedup(
+            docs,
+            DedupConfig(signature_impl=impl, hamming_prefilter=None),
+            pair_mode="clique",
+        )
+        out = {(r["a"], r["b"]) for r in res.verified.collect()}
+        res.unpersist()
+        return out
+
+    assert pairset("xxhash") == pairset("expr")
